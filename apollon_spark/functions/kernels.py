@@ -1,0 +1,490 @@
+"""Vectorized numpy kernels used inside Arrow pandas-UDF stages.
+
+Engine-side implementations are row-major and whole-spectrogram batched
+(one 2-D op per doc or per Arrow batch) — a deliberately different
+execution shape from the reference's column-major per-file flow, while
+reproducing its numeric semantics (cited per function as file:line in
+/root/reference/src/apollon/).
+
+Everything here is plain numpy: these functions run inside
+``mapInPandas`` / ``applyInPandas`` on executors, so no Spark imports.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .windows import get_window
+
+SPL_REF = 2e-5  # reference: _defaults.py:18 (human hearing threshold, 20 uPa)
+
+
+# ---------------------------------------------------------------------------
+# Framing (reference: segment.py:189-237; metadata segment.py:96-125)
+# ---------------------------------------------------------------------------
+
+def pad_lengths(n_frames: int, n_perseg: int, n_overlap: int,
+                extend: bool, pad: bool) -> tuple[int, int]:
+    """(ext_len, pad_len) zero-padding applied before striding.
+
+    Matches segment.py:207-211: ``ext_len = n_perseg // 2`` when
+    ``extend``; ``pad_len = (-(n_frames - n_perseg) % step) % n_perseg``
+    when ``pad`` (computed from the ORIGINAL length, pre-extension).
+    """
+    step = n_perseg - n_overlap
+    ext_len = n_perseg // 2 if extend else 0
+    pad_len = ((-(n_frames - n_perseg) % step) % n_perseg) if pad else 0
+    return ext_len, pad_len
+
+
+def n_segments(n_frames: int, n_perseg: int, n_overlap: int,
+               extend: bool, pad: bool) -> int:
+    """Segment count for given framing params (segment.py:213-216)."""
+    step = n_perseg - n_overlap
+    ext_len, pad_len = pad_lengths(n_frames, n_perseg, n_overlap, extend, pad)
+    total = n_frames + 2 * ext_len + pad_len
+    return (total - n_overlap) // step
+
+
+def validate_framing(n_frames: int, n_perseg: int, n_overlap: int) -> None:
+    """Framing validation per segment.py:168-182,221-226."""
+    if n_perseg <= 0:
+        raise ValueError(f"n_perseg must be > 0, got {n_perseg}")
+    if not 0 < n_overlap < n_perseg:
+        raise ValueError(
+            f"n_overlap must satisfy 0 < n_overlap < n_perseg, got "
+            f"n_perseg={n_perseg} n_overlap={n_overlap}")
+    if n_perseg > n_frames:
+        raise ValueError(
+            f"n_perseg={n_perseg} exceeds input length {n_frames}")
+
+
+def frame_signal(sig: np.ndarray, n_perseg: int, n_overlap: int,
+                 extend: bool = True, pad: bool = True,
+                 dtype: str = "float64") -> np.ndarray:
+    """Frame a 1-D signal into overlapping windows.
+
+    Returns a row-major ``(n_segs, n_perseg)`` zero-copy strided view
+    over the padded signal (the transpose of the reference's
+    ``(n_perseg, n_segs)`` layout, segment.py:213-216).
+    """
+    sig = np.asarray(sig, dtype=dtype).ravel()
+    validate_framing(sig.size, n_perseg, n_overlap)
+    step = n_perseg - n_overlap
+    ext_len, pad_len = pad_lengths(sig.size, n_perseg, n_overlap, extend, pad)
+    padded = np.pad(sig, (ext_len, ext_len + pad_len))
+    n_segs = (padded.size - n_overlap) // step
+    return np.lib.stride_tricks.as_strided(
+        padded,
+        shape=(n_segs, n_perseg),
+        strides=(step * padded.strides[0], padded.strides[0]),
+        writeable=False,
+    )
+
+
+def segment_centers(n_segs: int, n_perseg: int, n_overlap: int,
+                    extend: bool) -> np.ndarray:
+    """Absolute center position of each segment in the ORIGINAL signal
+    (segment.py:96-108: ``center = i*step + offset``; offset 0 when
+    extended else ``n_perseg // 2``)."""
+    step = n_perseg - n_overlap
+    offset = 0 if extend else n_perseg // 2
+    return np.arange(n_segs, dtype="int64") * step + offset
+
+
+def causal_frame_signal(sig: np.ndarray, n_perseg: int, n_overlap: int,
+                        dtype: str = "float64") -> tuple[np.ndarray, np.ndarray]:
+    """Zero-leakage framing: segment ``i`` ends AT its center (engine
+    extension, not in the reference). Segment i covers positions
+    ``[i*step - n_perseg + 1, i*step]`` with zero left-padding, so no
+    feature reads past its timestamp. Returns (segs, centers)."""
+    sig = np.asarray(sig, dtype=dtype).ravel()
+    validate_framing(sig.size, n_perseg, n_overlap)
+    step = n_perseg - n_overlap
+    padded = np.pad(sig, (n_perseg - 1, 0))
+    n_segs = (sig.size + step - 1) // step
+    segs = np.lib.stride_tricks.as_strided(
+        padded,
+        shape=(n_segs, n_perseg),
+        strides=(step * padded.strides[0], padded.strides[0]),
+        writeable=False,
+    )
+    centers = np.arange(n_segs, dtype="int64") * step
+    return segs, centers
+
+
+# ---------------------------------------------------------------------------
+# Spectral transform (reference: spectral.py:27-63,87-91)
+# ---------------------------------------------------------------------------
+
+def rfft_mag(segs: np.ndarray, window: str | None = None,
+             n_fft: int | None = None, norm: bool = True) -> np.ndarray:
+    """Magnitude spectrogram of framed rows, ``(n_segs, n_bins)``.
+
+    Matches spectral.py:27-63: window multiply, one-sided rfft, and the
+    unit-sinusoid normalization ``bins / sqrt(win.sum()^2) * 2``.
+    """
+    n_sig = segs.shape[1]
+    if n_fft is None:
+        n_fft = n_sig
+    win = get_window(window, n_sig)
+    bins = np.fft.rfft(segs * win, n_fft, axis=1)
+    if norm:
+        bins = bins / math.sqrt(win.sum() ** 2) * 2
+    return np.abs(bins)
+
+
+def rfftfreq(n_fft: int, fps: float) -> np.ndarray:
+    """Frequency axis (spectral.py:87-91)."""
+    return np.fft.rfftfreq(n_fft, 1.0 / fps)
+
+
+# ---------------------------------------------------------------------------
+# Per-segment features. All take row-major inputs:
+#   segs (n_segs, n_perseg) time domain; mag (n_segs, n_bins) spectral.
+# Outputs are 1-D (n_segs,).
+# ---------------------------------------------------------------------------
+
+def energy(segs: np.ndarray) -> np.ndarray:
+    """Total energy per segment (features.py:122-133)."""
+    if not np.isfinite(segs).all():
+        raise ValueError("non-finite values in input")
+    return np.sum(np.square(np.abs(segs)), axis=1)
+
+
+def rms(segs: np.ndarray) -> np.ndarray:
+    """Root mean square per segment (features.py:158-167)."""
+    return np.sqrt(np.mean(np.square(np.abs(segs)), axis=1))
+
+
+def spl(segs: np.ndarray, ref: float = SPL_REF) -> np.ndarray:
+    """Average sound pressure level (features.py:348-359): the log is
+    only evaluated where level > 0 (np.log10 ``where=`` semantics leave
+    other entries unchanged — i.e. undefined; we emit 0.0 there to keep
+    the column total)."""
+    level = rms(segs) / ref
+    out = np.zeros_like(level)
+    np.log10(level, where=level > 0, out=out)
+    return 20.0 * out
+
+
+def power_distr(mag: np.ndarray) -> np.ndarray:
+    """Relative spectral distribution per segment; zero-total segments
+    normalize by 1 (features.py:450-461)."""
+    total = np.sum(mag, axis=1, keepdims=True)
+    total[total == 0] = 1.0
+    return mag / total
+
+
+def spectral_centroid(frqs: np.ndarray, mag: np.ndarray) -> np.ndarray:
+    """Expected frequency under the spectral distribution
+    (features.py:170-192)."""
+    return np.sum(frqs * power_distr(mag), axis=1)
+
+
+def spectral_spread(frqs: np.ndarray, mag: np.ndarray,
+                    centroids: np.ndarray | None = None) -> np.ndarray:
+    """Sqrt of the second central spectral moment (features.py:195-224)."""
+    if centroids is None:
+        centroids = spectral_centroid(frqs, mag)
+    dev = np.square(frqs[None, :] - centroids[:, None])
+    return np.sqrt(np.sum(dev * power_distr(mag), axis=1))
+
+
+def spectral_skewness(frqs: np.ndarray, mag: np.ndarray,
+                      centroids: np.ndarray | None = None,
+                      spreads: np.ndarray | None = None) -> np.ndarray:
+    """Third standardized spectral moment. The reference declares but
+    stubs this (features.py:227-251 body is ``pass``); we implement the
+    documented formula — engine extension, no reference output exists."""
+    if centroids is None:
+        centroids = spectral_centroid(frqs, mag)
+    if spreads is None:
+        spreads = spectral_spread(frqs, mag, centroids)
+    sigma = np.where(spreads == 0, 1.0, spreads)
+    z = (frqs[None, :] - centroids[:, None]) / sigma[:, None]
+    return np.sum(np.power(z, 3) * power_distr(mag), axis=1)
+
+
+def spectral_kurtosis(frqs: np.ndarray, mag: np.ndarray,
+                      centroids: np.ndarray | None = None,
+                      spreads: np.ndarray | None = None) -> np.ndarray:
+    """Fourth standardized spectral moment (documented-but-stubbed in the
+    reference, features.py:253-277)."""
+    if centroids is None:
+        centroids = spectral_centroid(frqs, mag)
+    if spreads is None:
+        spreads = spectral_spread(frqs, mag, centroids)
+    sigma = np.where(spreads == 0, 1.0, spreads)
+    z = (frqs[None, :] - centroids[:, None]) / sigma[:, None]
+    return np.sum(np.power(z, 4) * power_distr(mag), axis=1)
+
+
+def spectral_flux(mag: np.ndarray, delta: float = 1.0) -> np.ndarray:
+    """Positive spectral time-gradient summed over frequency
+    (features.py:280-305). ``np.gradient`` central differences along the
+    TIME axis make this inherently non-causal (uses t-1 and t+1, one-sided
+    at the edges) — exact np.gradient parity."""
+    if mag.shape[0] == 1:
+        # np.gradient needs >= 2 points along the axis; single segment
+        # has zero flux by convention.
+        return np.zeros(1, dtype="float64")
+    grad = np.gradient(mag.astype("float64"), delta, axis=0)
+    return np.maximum(grad, 0.0).sum(axis=1)
+
+
+def fspl(mag: np.ndarray, total: bool = True, ref: float = SPL_REF) -> np.ndarray:
+    """SPL from spectrum (features.py:308-331), total over frequency."""
+    vals = np.square(mag / ref)
+    if total:
+        vals = vals.sum(axis=1)
+    vals = np.maximum(1.0, vals)
+    return 10.0 * np.log10(vals)
+
+
+def c_weighting(frqs: np.ndarray) -> np.ndarray:
+    """IEC 61672 C-weighting magnitude response
+    (signal/tools.py:84-96)."""
+    frqs = np.asarray(frqs, dtype="float64")
+    f2 = np.square(frqs)
+    num = 148693636.0 * f2
+    den = (f2 + 424.36) * (f2 + 148693636.0)
+    return num / den
+
+
+def fsplc(frqs: np.ndarray, mag: np.ndarray, total: bool = True,
+          ref: float = SPL_REF) -> np.ndarray:
+    """C-weighted spectral SPL. The reference's composition is broken
+    (features.py:346 calls 2-arg ``spl`` with 3 args); we implement the
+    documented intent: C-weight the magnitudes, then spectral SPL."""
+    return fspl(c_weighting(frqs)[None, :] * mag, total=total, ref=ref)
+
+
+# --- Bark critical bands (reference: signal/critical_bands.py) -------------
+
+def frq2cbr(frq: np.ndarray) -> np.ndarray:
+    """Hz -> critical band rate in Bark (critical_bands.py:12-22)."""
+    frq = np.atleast_1d(np.asarray(frq, dtype="float64"))
+    return 13.0 * np.arctan(0.00076 * frq) + 3.5 * np.arctan(np.square(frq / 7500.0))
+
+
+def bark_filter_bank(frqs: np.ndarray) -> np.ndarray:
+    """24 triangular Bark-scaled filters, ``(24, n_bins)``
+    (critical_bands.py:68-91). Computed once per doc batch and reused —
+    the broadcast-matrix pattern."""
+    n_bands = 24
+    z_frq = frq2cbr(frqs)
+    bank = np.zeros((n_bands, z_frq.size))
+    for z in range(n_bands):
+        idx = np.logical_and(z <= z_frq, z_frq < z + 1)
+        n = int(idx.sum())
+        if n:
+            bank[z, idx] = get_window("triang", n, periodic=False)
+    return bank
+
+
+def cb_level(cbi: np.ndarray) -> np.ndarray:
+    """Critical band level from intensities (critical_bands.py:25-35).
+    NB the reference's ref value is literally ``10e-12`` = 1e-11."""
+    ref = 10e-12
+    return 10.0 * np.log10(np.maximum(cbi, ref) / ref)
+
+
+def specific_loudness(cbr: np.ndarray) -> np.ndarray:
+    """Loudness per critical band (critical_bands.py:38-50)."""
+    return np.power(cb_level(cbr), 0.23)
+
+
+def loudness(frqs: np.ndarray, mag: np.ndarray,
+             bank: np.ndarray | None = None) -> np.ndarray:
+    """Total loudness per segment (features.py:385-396 +
+    critical_bands.py:53-65): Bark bank @ magnitudes -> specific
+    loudness -> sum over bands."""
+    if bank is None:
+        bank = bark_filter_bank(frqs)
+    cbrs = mag @ bank.T                      # (n_segs, 24)
+    return specific_loudness(cbrs).sum(axis=1)
+
+
+def sharpness(frqs: np.ndarray, mag: np.ndarray,
+              bank: np.ndarray | None = None) -> np.ndarray:
+    """Perceptual sharpness per segment (features.py:435-447 +
+    critical_bands.py:94-124). NB: the reference normalizes by
+    ``fsum(loud_specific)`` with axis=None — ONE scalar over the whole
+    spectrogram, not per segment. That whole-doc coupling is preserved
+    (load-bearing for parity); callers in split/halo mode must pass the
+    doc's full spectrogram here or aggregate the denominator separately."""
+    if bank is None:
+        bank = bark_filter_bank(frqs)
+    cbrs = mag @ bank.T                      # (n_segs, 24)
+    loud_specific = np.maximum(specific_loudness(cbrs), np.finfo("float64").eps)
+    loud_total = loud_specific.sum()         # scalar, whole spectrogram
+    z = np.arange(1, 25, dtype="float64")
+    w = np.maximum(1.0, 0.066 * np.exp(0.171 * z))
+    return (cbrs @ (z * w)) / loud_total
+
+
+def roughness_helmholtz(d_frq: float, mag: np.ndarray, frq_max: float,
+                        total: bool = True) -> np.ndarray:
+    """Helmholtz roughness per segment (features.py:399-432 +
+    kernel features.py:464-478). Per-segment autocorrelation of the
+    clip-normalized low spectrum, weighted by ``f/33e^-1 * exp(-f/33)``."""
+    frm = 33.0
+    bin_idx = int(np.round(frq_max / d_frq))
+    base = np.abs(np.arange(bin_idx + 1)) * d_frq
+    kernel = base / (frm * np.exp(-1.0)) * np.exp(-base / frm)
+
+    k = kernel.size
+    out = np.empty((mag.shape[0], k))
+    for i in range(mag.shape[0]):
+        sl = mag[i, :k].astype("float64").copy()
+        mx = sl.max()
+        if mx > 0:
+            sl /= mx
+        sl[sl < 0.1] = 0.0
+        rns = np.correlate(sl, sl, mode="full")
+        rns = rns[rns.size // 2:]
+        rns[0] = 0.0
+        rmx = rns.max()
+        if rmx > 0:
+            rns = rns / rmx
+            out[i] = rns * kernel / (rns > 0.2).sum()
+        else:
+            out[i] = rns * kernel
+    if total:
+        return out.sum(axis=1)
+    return out
+
+
+# --- Time-domain / nonlinear kernels ---------------------------------------
+
+def delay_embedding(sig: np.ndarray, delay: int, m_dim: int) -> np.ndarray:
+    """Delay embedding matrix ``(n, m_dim)`` (fractal.py:42-61), built
+    as a strided view rather than the reference's per-row loop."""
+    sig = np.ascontiguousarray(sig, dtype="float64")
+    max_idx = sig.size - (m_dim - 1) * delay
+    if max_idx <= 0:
+        raise ValueError("signal too short for embedding")
+    s = sig.strides[0]
+    return np.lib.stride_tricks.as_strided(
+        sig, shape=(max_idx, m_dim), strides=(s, delay * s), writeable=False)
+
+
+def shannon_entropy(counts: np.ndarray) -> float:
+    """Shannon entropy (nats) of a count vector, as scipy.stats.entropy
+    computes it (normalize, ignore zeros)."""
+    counts = np.asarray(counts, dtype="float64").ravel()
+    total = counts.sum()
+    if total <= 0:
+        return 0.0
+    p = counts / total
+    p = p[p > 0]
+    return float(-(p * np.log(p)).sum())
+
+
+def embedding_entropy(emb: np.ndarray, n_bins: int) -> float:
+    """Entropy of the d-dim histogram of an embedding (fractal.py:85-96)."""
+    counts, _ = np.histogramdd(emb, bins=n_bins)
+    return shannon_entropy(counts)
+
+
+def hilbert_magnitude(segs: np.ndarray) -> np.ndarray:
+    """|analytic signal| per row via FFT (scipy.signal.hilbert
+    semantics; scipy unavailable here). Used by log_attack_time
+    (features.py:361-382)."""
+    segs = np.asarray(segs, dtype="float64")
+    n = segs.shape[-1]
+    spec = np.fft.fft(segs, axis=-1)
+    h = np.zeros(n)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+    return np.abs(np.fft.ifft(spec * h, axis=-1))
+
+
+def correlogram(sig: np.ndarray, wlen: int, n_delay: int,
+                total: bool = True) -> np.ndarray:
+    """Windowed autocorrelation to the 4th power, clamped at 0
+    (features.py:76-119; C kernel correlogram.c:3-78). Vectorized with
+    sliding windows + einsum instead of the C double loop.
+
+    Output (not total): ``(n_delay-1, n_t)`` with
+    ``out[d-1, t] = max(corrcoef(sig[t:t+wlen], sig[t+d:t+d+wlen]), 0)^4``
+    for d in [1, n_delay), t in [0, len-wlen-n_delay).
+    """
+    sig = np.asarray(sig, dtype="float64").ravel()
+    n_t = sig.size - wlen - n_delay
+    if n_t <= 0:
+        raise ValueError("signal too short for correlogram")
+    sw = np.lib.stride_tricks.sliding_window_view(sig, wlen)  # (L-wlen+1, wlen)
+    means = sw.mean(axis=1)
+    devs = sw - means[:, None]
+    ss = np.einsum("ij,ij->i", devs, devs)
+    base = devs[:n_t]                       # windows at t
+    out = np.empty((n_delay - 1, n_t))
+    for d in range(1, n_delay):
+        lagged = devs[d:d + n_t]
+        cov = np.einsum("ij,ij->i", base, lagged)
+        denom = np.sqrt(ss[:n_t] * ss[d:d + n_t])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(denom > 0, cov / denom, 0.0)
+        out[d - 1] = np.power(np.maximum(r, 0.0), 4)
+    if total:
+        return np.array([out.mean()])
+    return out
+
+
+def cdim_bader(sig: np.ndarray, delay: int = 14, m_dim: int = 80,
+               n_bins: int = 1000, scaling_size: int = 10) -> float:
+    """Correlation dimension, Bader variant (features.py:24-73; C kernel
+    signal/cdim.c:167-283). Deliberately preserves the C kernel's quirks:
+    fixed n=2400 samples, distance bound 10 after int16-range normalization,
+    log-log slope over the first ``scaling_size`` cumulative bins.
+    """
+    n_fixed = 2400                      # cdim.c:177
+    bound = 10.0                        # cdim.c:172
+    sig = np.asarray(sig, dtype="float64").ravel()[:n_fixed]
+    if sig.size < n_fixed:
+        raise ValueError(f"cdim needs >= {n_fixed} samples, got {sig.size}")
+    # int16-style scaling as in audio.fti16 (audio.py:141-150)
+    mx = np.abs(sig).max()
+    if mx > 0:
+        sig = sig / mx * 32767.0
+    emb = delay_embedding(sig, delay, m_dim)
+    # pairwise distances, normalized by embedding dim (cdim.c:192-202)
+    sq = np.einsum("ij,ij->i", emb, emb)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (emb @ emb.T)
+    iu = np.triu_indices(emb.shape[0], k=1)
+    dists = np.sqrt(np.maximum(d2[iu], 0.0)) / m_dim
+    dists = dists[dists < bound]
+    if dists.size == 0:
+        return 0.0
+    radii = np.linspace(dists.min() if dists.min() > 0 else 1e-12,
+                        bound, n_bins)
+    counts, _ = np.histogram(dists, bins=radii)
+    corr_sum = np.cumsum(counts).astype("float64")
+    corr_sum /= corr_sum[-1] if corr_sum[-1] > 0 else 1.0
+    valid = corr_sum[:scaling_size] > 0
+    if valid.sum() < 2:
+        return 0.0
+    x = np.log(radii[1:scaling_size + 1][valid])
+    y = np.log(corr_sum[:scaling_size][valid])
+    slope = np.polyfit(x, y, 1)[0]
+    return float(slope)
+
+
+def acf(sig: np.ndarray) -> np.ndarray:
+    """Normalized autocorrelation at all lags (signal/tools.py:32-54),
+    FFT-based."""
+    sig = np.asarray(sig, dtype="float64").ravel()
+    n = sig.size
+    nfft = 1 << int(np.ceil(np.log2(2 * n - 1)))
+    spec = np.fft.rfft(sig, nfft)
+    full = np.fft.irfft(spec * np.conj(spec), nfft)[:n]
+    if full[0] == 0:
+        return np.zeros(n)
+    return full / full[0]

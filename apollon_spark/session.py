@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is a single JVM; on a real cluster the same configs apply,
+with ``spark.sql.shuffle.partitions`` sized to ~2-3x total cores and AQE
+coalescing down at runtime.
+"""
+from __future__ import annotations
+
+import os
+import pathlib
+
+from pyspark.sql import SparkSession
+
+# Repo root — shipped via --py-files on a real cluster; in local mode the
+# forked Python workers need it on PYTHONPATH to unpickle our UDFs.
+_PKG_ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
+
+
+def get_spark(
+    app_name: str = "apollon_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    Args:
+        app_name: Spark application name.
+        cpus: parallelism for local mode (int or "*" ). Defaults to
+            ``$SPARK_GRAFT_CPUS`` or all cores.
+        shuffle_partitions: defaults to max(2*cores, 32) locally. On a
+            cluster this would be ~2-3x total executor cores; AQE
+            coalesces small partitions at runtime either way.
+        extra_conf: additional config overrides.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_cores = os.cpu_count() or 8 if cpus in ("*", None) else int(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * n_cores, 32)
+
+    existing = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{existing}" if existing else _PKG_ROOT)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # big Arrow batches amortize the Python<->JVM boundary for the
+        # pandas-UDF feature kernels (each batch = many whole docs)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # parquet scans: allow splitting large files across tasks
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
