@@ -1,38 +1,711 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship feature-extraction pipeline on sf0.001.
+``queries()``: one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents. Queries whose
+math is not SQL-expressible (FFT battery, HMM EM, SOM, LSH-ANN) have
+no oracle entry — they are covered by the pytest parity suite against
+a reference-shaped numpy oracle instead (tests/test_features.py etc.).
+
+Shared determinism contract: the docs table is derived from
+``documents`` with a token map expressible identically in Spark SQL and
+DuckDB SQL (apollon_spark/tokenize.py); float outputs are rounded on
+both sides; timestamps are compared as epoch microseconds.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apollon_spark.tokenize import (DUCKDB_DOCS_CTE, DUCKDB_FRAMES_CTE,
+                                    docs_from_documents)
+from apollon_spark.ml.dedup import hash_params
+
+MERSENNE = 2_147_483_647
+_MINHASH_N, _MINHASH_SEED, _SHINGLE_K = 8, 7, 3
+_SIMHASH_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docs_from_documents(spark, sf_dir)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenize -> framed short-time analysis -> fused
+    spectral feature battery, on sf0.001."""
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    cfg = FeatureConfig(framing=FramingParams(32, 16))
+    return extract_features(docs, cfg)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_docs_profile(spark, sf_dir):
+    from apollon_spark.ml.textstats import fingerprint_col
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", "n_tok", "source",
+        fingerprint_col(F.col("tokens")).alias("fingerprint"))
+
+
+def _q_frames_agg(spark, sf_dir):
+    from apollon_spark.operators.framing import explode_frames
+    frames = explode_frames(_docs(spark, sf_dir))
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_pos"),
+        F.sum(F.col("token").cast("long")).alias("tok_sum"),
+        F.sum(F.col("token").cast("long") * (F.col("position") + 1))
+        .alias("tok_wsum"))
+
+
+def _q_reassembly(spark, sf_dir):
+    from apollon_spark.operators.framing import reassembled_equal
+    return reassembled_equal(_docs(spark, sf_dir))
+
+
+def _q_tumbling(spark, sf_dir):
+    from apollon_spark.operators.framing import explode_frames, tumbling_window
+    frames = tumbling_window(explode_frames(_docs(spark, sf_dir)), 16)
+    return frames.groupBy("doc_id", "win_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("token").cast("long") * F.col("token")).alias("energy"),
+        F.round(F.avg("token"), 6).alias("tok_mean"))
+
+
+def _q_sliding(spark, sf_dir):
+    from apollon_spark.operators.framing import explode_frames
+    frames = explode_frames(_docs(spark, sf_dir))
+    w = (Window.partitionBy("doc_id").orderBy("position")
+         .rowsBetween(-7, 0))
+    return frames.select(
+        "doc_id", "position",
+        F.round(F.avg("token").over(w), 6).alias("win_mean"),
+        F.min("token").over(w).alias("win_min"),
+        F.max("token").over(w).alias("win_max"))
+
+
+def _q_segment_meta(spark, sf_dir):
+    from apollon_spark.operators.framing import FramingParams, segment_docs
+    p = FramingParams(32, 16, True, True)
+    segs = segment_docs(_docs(spark, sf_dir), p)
+    return segs.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum("center").alias("center_sum"),
+        F.min("start").alias("start_min"),
+        F.max("stop").alias("stop_max"))
+
+
+def _q_seg_energy(spark, sf_dir):
+    from apollon_spark.operators.framing import FramingParams, segment_docs
+    p = FramingParams(32, 16, False, False)
+    segs = segment_docs(_docs(spark, sf_dir), p)
+    energy = F.aggregate("frame", F.lit(0.0), lambda a, x: a + x * x)
+    return segs.select("doc_id", "seg_idx", energy.alias("energy"))
+
+
+def _q_causal_energy(spark, sf_dir):
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    cfg = FeatureConfig(framing=FramingParams(32, 16), causal=True)
+    feats = extract_features(_docs(spark, sf_dir), cfg)
+    return feats.select("doc_id", "seg_idx", "center", "energy")
+
+
+def _click_purchase(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "event_id",
+                      F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("rt"),
+                     F.round("value", 6).alias("purchase_value")))
+    return clicks, purch
+
+
+def _q_asof_union(spark, sf_dir):
+    from apollon_spark.operators.asof import asof_join
+    clicks, purch = _click_purchase(spark, sf_dir)
+    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
+                     value_cols=["purchase_value"], strategy="union")
+
+
+def _q_asof_bucketed(spark, sf_dir):
+    from apollon_spark.operators.asof import asof_join
+    clicks, purch = _click_purchase(spark, sf_dir)
+    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
+                     value_cols=["purchase_value"], strategy="bucketed",
+                     bucket_width=3_600_000_000.0)
+
+
+def _q_sessionize(spark, sf_dir):
+    from apollon_spark.operators.sessionize import session_bounds, sessionize
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value")
+    sess = sessionize(ev, on="t_us", gap=1_800_000_000, by="user_id")
+    return (session_bounds(sess, on="t_us", by="user_id")
+            .withColumnRenamed("session_start", "s_start")
+            .withColumnRenamed("session_end", "s_end"))
+
+
+def _q_locf(spark, sf_dir):
+    from apollon_spark.operators.backfill import locf
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .alias("click_value"))
+    filled = locf(ev, ["click_value"], on="t_us", by="user_id")
+    return filled.select("user_id", "event_id",
+                         F.round("click_value", 6).alias("click_value"))
+
+
+def _q_lag_delta(spark, sf_dir):
+    from apollon_spark.operators.backfill import lag_lead_delta
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value")
+    out = lag_lead_delta(ev, "value", on="t_us", by="user_id")
+    return out.select(
+        "user_id", "event_id",
+        F.round("value_delta", 6).alias("delta"),
+        F.round("value_grad", 6).alias("grad"),
+        F.round(F.greatest("value_grad", F.lit(0.0)), 6).alias("flux"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from apollon_spark.ml.dedup import exact_dedup
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return exact_dedup(documents, "text", "doc_id") \
+        .select("doc_id", "dup_count")
+
+
+def _q_minhash(spark, sf_dir):
+    from apollon_spark.ml.dedup import minhash_docs
+    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= _SHINGLE_K)
+    sigs = minhash_docs(docs, _MINHASH_N, _SHINGLE_K, _MINHASH_SEED)
+    return sigs.select(
+        "doc_id", F.posexplode("signature").alias("h_idx", "sig"))
+
+
+def _q_simhash(spark, sf_dir):
+    from apollon_spark.ml.dedup import simhash_col
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", simhash_col(F.col("tokens"), _SIMHASH_BITS).alias("simhash"))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from apollon_spark.ml.dedup import jaccard_col
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 60) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.array_distinct(F.split("text", " ")).alias("words"))
+    a = documents.select(F.col("doc_id").alias("id_a"),
+                         F.col("words").alias("wa"))
+    b = documents.select(F.col("doc_id").alias("id_b"),
+                         F.col("words").alias("wb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(jaccard_col(F.col("wa"), F.col("wb")), 6)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= 0.3))
+
+
+def _q_knn_cosine(spark, sf_dir):
+    import numpy as np
+    from apollon_spark.ml.simsearch import cosine_pairs_above
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id") \
+        .select("vec_id", "embedding").collect()
+    queries = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    pairs = cosine_pairs_above(emb, queries, q_ids, threshold=0.2)
+    return pairs.select("q_id", "id", F.round("sim", 6).alias("sim"))
+
+
+def _q_text_profile(spark, sf_dir):
+    from apollon_spark.ml.textstats import text_profile
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    prof = text_profile(documents)
+    return prof.select("doc_id", "n_words", "n_chars", "n_tokens_est",
+                       "quality", "lang_pred")
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    out = (li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(dec("l_quantity")).alias("sq"),
+                F.sum(dec("l_extendedprice")).alias("sb"),
+                F.sum(dec("l_extendedprice")
+                      * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .alias("sd"),
+                F.count("*").alias("n")))
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sb").cast("double").alias("sum_base"),
+        F.col("sd").cast("double").alias("sum_disc"),
+        "n")
+
+
+def _q_topk_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_orderpriority", "rank", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+def _q_window_count_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.withColumn(
+        "win_id", F.expr("unix_micros(cast(ts as timestamp)) div 300000000"))
+        .groupBy("event_type", "win_id")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("val_sum")))
+
+
+# --- rows-only queries (non-SQL-expressible; pytest-verified) ---------------
+
+def _q_features_battery(spark, sf_dir):
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    cfg = FeatureConfig(framing=FramingParams(32, 16))
+    return extract_features(_docs(spark, sf_dir), cfg)
+
+
+def _q_features_split(spark, sf_dir):
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    cfg = FeatureConfig(framing=FramingParams(32, 16))
+    return extract_features(_docs(spark, sf_dir), cfg, split=True,
+                            chunk_segs=3)
+
+
+def _q_hmm(spark, sf_dir):
+    from apollon_spark.hmm import fit_hmm_docs
+    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 20)
+    return fit_hmm_docs(docs, m_states=2, max_iter=100)
+
+
+def _q_onsets(spark, sf_dir):
+    from apollon_spark.onsets import detect_onsets
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig
+    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 32)
+    cfg = FeatureConfig(framing=FramingParams(16, 8))
+    return detect_onsets(docs, cfg, n_before=2, n_after=2, delta=0.05)
+
+
+def _q_som_bmu(spark, sf_dir):
+    from apollon_spark.som import SomParams, assign_bmu, fit_batch_som
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    weights, _ = fit_batch_som(emb, "embedding",
+                               SomParams(4, 4, n_iter=3, seed=10))
+    return assign_bmu(emb, "embedding", weights).select(
+        "vec_id", "bmu", F.round("bmu_dist", 6).alias("bmu_dist"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    import numpy as np
+    from apollon_spark.ml.simsearch import lsh_ann_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id") \
+        .select("vec_id", "embedding").collect()
+    queries = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    return lsh_ann_topk(emb, queries, q_ids, k=5, n_planes=4)
+
+
+def _q_media_features(spark, sf_dir):
+    from apollon_spark.ml.multimodal import extract_media_features, synth_media
+    media = synth_media(spark, 32)
+    return extract_media_features(media, dim=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "docs_profile": _q_docs_profile,
+        "frames_agg": _q_frames_agg,
+        "reassembly": _q_reassembly,
+        "tumbling": _q_tumbling,
+        "sliding": _q_sliding,
+        "segment_meta": _q_segment_meta,
+        "seg_energy": _q_seg_energy,
+        "causal_energy": _q_causal_energy,
+        "asof_union": _q_asof_union,
+        "asof_bucketed": _q_asof_bucketed,
+        "sessionize": _q_sessionize,
+        "locf": _q_locf,
+        "lag_delta": _q_lag_delta,
+        "dedup_exact": _q_dedup_exact,
+        "minhash": _q_minhash,
+        "simhash": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "knn_cosine": _q_knn_cosine,
+        "text_profile": _q_text_profile,
+        "tpch_q1": _q_tpch_q1,
+        "topk_orders": _q_topk_orders,
+        "window_count_events": _q_window_count_events,
+        # rows-only (non-SQL-expressible; pytest parity instead)
+        "features_battery": _q_features_battery,
+        "features_split": _q_features_split,
+        "hmm": _q_hmm,
+        "onsets": _q_onsets,
+        "som_bmu": _q_som_bmu,
+        "ann_lsh": _q_ann_lsh,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_W = f"WITH {DUCKDB_DOCS_CTE.strip()}"
+_WF = f"WITH {DUCKDB_DOCS_CTE.strip()}, {DUCKDB_FRAMES_CTE.strip()}"
+
+
+def _minhash_sql() -> str:
+    # fold order must equal the Spark fold: ((x0 % M)*p + x1) % M * p + x2) % M
+    params = hash_params(_MINHASH_N, _MINHASH_SEED)
+    shingle = (
+        "list_transform(range(1, n_tok - 1), i -> "
+        "(((((CAST(tokens[i] AS BIGINT) % 2147483647) * 1000003 "
+        "+ CAST(tokens[i+1] AS BIGINT)) % 2147483647) * 1000003 "
+        "+ CAST(tokens[i+2] AS BIGINT)) % 2147483647))")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * s + {b}) % 2147483647)) "
+        f"AS sig_{j}"
+        for j, (a, b) in enumerate(params))
+    sig_cols = ", ".join(f"sig_{j}" for j in range(_MINHASH_N))
+    return f"""
+{_W},
+shingled AS (
+  SELECT doc_id, {shingle} AS sh FROM docs WHERE n_tok >= {_SHINGLE_K}
+),
+sigs AS (SELECT doc_id, [{sig_cols}] AS signature
+         FROM (SELECT doc_id, {sig_exprs} FROM shingled))
+SELECT doc_id,
+       CAST(generate_subscripts(signature, 1) - 1 AS INT) AS h_idx,
+       unnest(signature) AS sig
+FROM sigs
+"""
+
+
+def _simhash_sql() -> str:
+    bit_terms = []
+    for b in range(_SIMHASH_BITS):
+        vote = (f"list_sum(list_transform(mixed, m -> "
+                f"CASE WHEN (m & {1 << b}) != 0 THEN 1 ELSE -1 END))")
+        bit_terms.append(
+            f"CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END")
+    total = " + ".join(bit_terms)
+    return f"""
+{_W},
+mix AS (
+  SELECT doc_id,
+         list_transform(tokens, x ->
+           (CAST(x AS BIGINT) * 2654435761) % 4294967296) AS mixed
+  FROM docs
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM mix
+"""
+
+
+def _text_profile_sql() -> str:
+    from apollon_spark.ml.textstats import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ", ".join(
+        "CAST(len(list_filter(ws, w -> w IN ({lst}))) AS DOUBLE) / n "
+        "AS s_{lang}".format(
+            lst=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang=lang)
+        for lang in langs)
+    # argmax with alphabetical tiebreak == the Spark fold in lang_id_col
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case_lang = ("CASE " + " ".join(branches)
+                 + f" ELSE '{langs[-1]}' END")
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         string_split(lower(text), ' ') AS ws,
+         greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS n
+  FROM documents
+),
+scored AS (SELECT doc_id, text, n, {score_exprs} FROM base)
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT)
+         + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+         AS n_tokens_est,
+       round(
+         0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+         + 0.3 * (CASE WHEN length(text) * 1.0 / len(string_split(text, ' '))
+                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END), 6)
+         AS quality,
+       CASE WHEN {gmax} > 0 THEN {case_lang} ELSE 'und' END AS lang_pred
+FROM scored
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    grad = """CASE
+        WHEN lagv IS NULL AND leadv IS NULL THEN 0.0
+        WHEN lagv IS NULL THEN leadv - value
+        WHEN leadv IS NULL THEN value - lagv
+        ELSE (leadv - lagv) / 2.0 END"""
+    return {
+        "docs_profile": f"""
+{_W}
+SELECT doc_id, n_tok, source,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(tokens, x -> CAST(x AS BIGINT))),
+         (a, x) -> (a * 31 + x + 1) % 2147483647) AS fingerprint
+FROM docs
+""",
+        "frames_agg": f"""
+{_WF}
+SELECT doc_id, count(*) AS n_pos,
+       CAST(sum(CAST(token AS BIGINT)) AS BIGINT) AS tok_sum,
+       CAST(sum(CAST(token AS BIGINT) * (position + 1)) AS BIGINT) AS tok_wsum
+FROM frames GROUP BY doc_id
+""",
+        "reassembly": f"""
+{_WF}
+SELECT d.doc_id, (list(f.token ORDER BY f.position) = d.tokens) AS ok
+FROM docs d JOIN frames f ON d.doc_id = f.doc_id
+GROUP BY d.doc_id, d.tokens
+""",
+        "tumbling": f"""
+{_WF}
+SELECT doc_id, CAST(position // 16 AS BIGINT) AS win_id, count(*) AS n,
+       CAST(sum(CAST(token AS BIGINT) * token) AS BIGINT) AS energy,
+       round(avg(token), 6) AS tok_mean
+FROM frames GROUP BY doc_id, position // 16
+""",
+        "sliding": f"""
+{_WF}
+SELECT doc_id, position,
+       round(avg(token) OVER w, 6) AS win_mean,
+       min(token) OVER w AS win_min,
+       max(token) OVER w AS win_max
+FROM frames
+WINDOW w AS (PARTITION BY doc_id ORDER BY position
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+""",
+        "segment_meta": f"""
+{_W},
+meta AS (
+  SELECT doc_id,
+         (n_tok + 32 + ((((-(n_tok - 32)) % 16) + 16) % 16 % 32) - 16) // 16
+           AS n_segs
+  FROM docs WHERE n_tok >= 32
+)
+SELECT doc_id, n_segs,
+       CAST(16 * n_segs * (n_segs - 1) / 2 AS BIGINT) AS center_sum,
+       CAST(-16 AS BIGINT) AS start_min,
+       CAST((n_segs - 1) * 16 + 16 AS BIGINT) AS stop_max
+FROM meta
+""",
+        "seg_energy": f"""
+{_WF},
+segs AS (
+  SELECT doc_id, unnest(range(0, (n_tok - 16) // 16)) AS seg_idx
+  FROM docs WHERE n_tok >= 32
+)
+SELECT s.doc_id, CAST(s.seg_idx AS INT) AS seg_idx,
+       CAST(sum(CAST(f.token AS BIGINT) * f.token) AS DOUBLE) AS energy
+FROM segs s JOIN frames f
+  ON f.doc_id = s.doc_id
+ AND f.position >= s.seg_idx * 16 AND f.position < s.seg_idx * 16 + 32
+GROUP BY s.doc_id, s.seg_idx
+""",
+        "causal_energy": f"""
+{_WF},
+segs AS (
+  SELECT doc_id, unnest(range(0, CAST(ceil(n_tok / 16.0) AS BIGINT)))
+           AS seg_idx
+  FROM docs WHERE n_tok >= 32
+)
+SELECT s.doc_id, CAST(s.seg_idx AS INT) AS seg_idx,
+       CAST(s.seg_idx * 16 AS BIGINT) AS center,
+       CAST(coalesce(sum(CAST(f.token AS BIGINT) * f.token), 0) AS DOUBLE)
+         AS energy
+FROM segs s LEFT JOIN frames f
+  ON f.doc_id = s.doc_id
+ AND f.position >= s.seg_idx * 16 - 31 AND f.position <= s.seg_idx * 16
+GROUP BY s.doc_id, s.seg_idx
+""",
+        "asof_union": """
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_us(ts) AS rt,
+                  round(value, 6) AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.rt
+""",
+        "asof_bucketed": """
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_us(ts) AS rt,
+                  round(value, 6) AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.rt
+""",
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+           AS prev_t
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_t IS NULL OR t_us - prev_t > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(t_us) AS s_start, max(t_us) AS s_end,
+       count(*) AS n_rows
+FROM sessions GROUP BY user_id, session_id
+""",
+        "locf": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type = 'click' THEN value END AS cv
+  FROM events
+)
+SELECT user_id, event_id,
+       round(last_value(cv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY t_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS click_value
+FROM e
+""",
+        "lag_delta": f"""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         lag(value) OVER w AS lagv,
+         lead(value) OVER w AS leadv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+)
+SELECT user_id, event_id,
+       round(value - lagv, 6) AS delta,
+       round({grad}, 6) AS grad,
+       round(greatest({grad}, 0.0), 6) AS flux
+FROM e
+""",
+        "dedup_exact": """
+WITH groups AS (
+  SELECT text, min(CAST(doc_id AS VARCHAR)) AS doc_id,
+         count(*) AS dup_count
+  FROM documents GROUP BY text
+)
+SELECT doc_id, dup_count FROM groups
+""",
+        "minhash": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "jaccard_pairs": """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_distinct(string_split(text, ' ')) AS words
+  FROM documents WHERE doc_id < 60
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+               / len(list_distinct(a.words || b.words)), 6) AS jaccard
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.3
+""",
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 3),
+p AS (SELECT q.q_id, e.vec_id AS id, unnest(q.qe) AS a,
+             unnest(e.embedding) AS b
+      FROM q, embeddings e),
+sims AS (
+  SELECT q_id, id,
+         sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+           / (sqrt(sum(CAST(a AS DOUBLE) * a)) *
+              sqrt(sum(CAST(b AS DOUBLE) * b))) AS sim
+  FROM p GROUP BY q_id, id
+)
+SELECT q_id, id, round(sim, 6) AS sim FROM sims WHERE sim >= 0.2
+""",
+        "text_profile": _text_profile_sql(),
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "topk_orders": """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank
+  FROM orders
+)
+SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey,
+       round(o_totalprice, 2) AS total
+FROM ranked WHERE rank <= 3
+""",
+        "window_count_events": """
+SELECT event_type, epoch_us(ts) // 300000000 AS win_id,
+       count(*) AS n, round(sum(value), 4) AS val_sum
+FROM events GROUP BY event_type, epoch_us(ts) // 300000000
+""",
+    }

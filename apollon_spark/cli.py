@@ -1,0 +1,87 @@
+"""spark-submit job driver mirroring the reference CLI surface
+(scripts/apollon:17,34-60: ``features | onsets | hmm | som | export |
+position``; NB the reference's own CLI imports a module absent from its
+package — this engine's stages actually run).
+
+Usage:
+  spark-submit --py-files apollon_spark.zip -m apollon_spark.cli \
+      --stage features --input /data/docs --output /data/out \
+      [--n-perseg 512 --n-overlap 256 --split] \
+      [--buckets 16]   # checkpointed resume granularity
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import storage
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="apollon-spark")
+    ap.add_argument("--stage", required=True,
+                    choices=["features", "onsets", "hmm", "som",
+                             "position", "export", "nonlinear"])
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-perseg", type=int, default=512)
+    ap.add_argument("--n-overlap", type=int, default=256)
+    ap.add_argument("--window", default="hamming")
+    ap.add_argument("--fps", type=int, default=9000)
+    ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--split", action="store_true",
+                    help="halo-split skewed long docs")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--m-states", type=int, default=3)
+    ap.add_argument("--som-rows", type=int, default=10)
+    ap.add_argument("--som-cols", type=int, default=10)
+    ap.add_argument("--som-epochs", type=int, default=10)
+    ap.add_argument("--export-format", choices=["csv", "json"],
+                    default="json")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(f"apollon-{args.stage}")
+    docs = storage.read_table(spark, args.input)
+
+    from .operators.framing import FramingParams
+    from .spectral import FeatureConfig, extract_features
+    cfg = FeatureConfig(
+        framing=FramingParams(args.n_perseg, args.n_overlap),
+        window=args.window, fps=args.fps, causal=args.causal)
+
+    if args.stage == "features":
+        from .pipeline import run_feature_job
+        summary = run_feature_job(spark, docs, args.output, cfg,
+                                  n_buckets=args.buckets, split=args.split)
+        print(json.dumps(summary))
+    elif args.stage == "onsets":
+        from .onsets import detect_onsets
+        storage.write_table(detect_onsets(docs, cfg), args.output)
+    elif args.stage == "hmm":
+        from .hmm import fit_hmm_docs
+        storage.write_table(fit_hmm_docs(docs, args.m_states), args.output)
+    elif args.stage == "nonlinear":
+        from .nonlinear import extract_nonlinear
+        storage.write_table(extract_nonlinear(docs), args.output)
+    elif args.stage in ("som", "position"):
+        # docs here = a feature/vector table with an array<double> column
+        import numpy as np
+        from .som import SomParams, assign_bmu, fit_batch_som
+        vec_col = "embedding" if "embedding" in docs.columns else "lambda"
+        p = SomParams(args.som_rows, args.som_cols, n_iter=args.som_epochs)
+        weights, qerr = fit_batch_som(docs, vec_col, p)
+        out = assign_bmu(docs, vec_col, weights)
+        storage.write_table(out.drop(vec_col), args.output)
+        print(json.dumps({"qerr": qerr}))
+    elif args.stage == "export":
+        if args.export_format == "csv":
+            storage.write_csv(docs, args.output)
+        else:
+            storage.write_json(docs, args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

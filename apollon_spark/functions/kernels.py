@@ -488,3 +488,116 @@ def acf(sig: np.ndarray) -> np.ndarray:
     if full[0] == 0:
         return np.zeros(n)
     return full / full[0]
+
+
+def acf_pearson(sig: np.ndarray) -> np.ndarray:
+    """Autocorrelation via the reference's 'fast pearson' coefficient
+    (signal/tools.py:57-81). NB the reference normalizes by the PRODUCT
+    of energies (no sqrt) — that quirk is preserved for parity."""
+    sig = np.asarray(sig, dtype="float64").ravel()
+    n = sig.size
+    out = np.empty(n - 1)
+    out[0] = 1.0
+    for lag in range(1, n - 1):
+        out[lag] = corr_coef_pearson(sig[:-lag], sig[lag:])
+    return out
+
+
+def corr_coef_pearson(x: np.ndarray, y: np.ndarray) -> float:
+    """signal/tools.py:74-81 verbatim semantics: r_xy / (xx * yy),
+    not the mathematically-standard sqrt denominator."""
+    xd = x - np.mean(x)
+    yd = y - np.mean(y)
+    r_xy = float(xd @ yd)
+    r_xx_yy = float((xd @ xd) * (yd @ yd))
+    if r_xx_yy == 0:
+        return 0.0
+    return r_xy / r_xx_yy
+
+
+# --- Butterworth bandpass (signal/filter.py:13-46; scipy-free design) -------
+
+def butter_bandpass_coef(low: float, high: float, fs: float,
+                         order: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """(b, a) for a digital Butterworth bandpass via the standard
+    analog-prototype -> bandpass transform -> bilinear route (the same
+    math scipy.signal.butter performs)."""
+    nyq = fs / 2.0
+    # pre-warp the band edges for the bilinear transform (fs=2)
+    w1 = 2.0 * 2.0 * np.tan(np.pi * (low / nyq) / 2.0)
+    w2 = 2.0 * 2.0 * np.tan(np.pi * (high / nyq) / 2.0)
+    bw, w0 = w2 - w1, np.sqrt(w1 * w2)
+    # analog lowpass prototype poles (Butterworth, unit cutoff)
+    k = np.arange(1, order + 1)
+    proto = np.exp(1j * np.pi * (2 * k + order - 1) / (2 * order))
+    # lowpass -> bandpass: each pole maps to a conjugate pair
+    p_lp = proto * bw / 2.0
+    disc = np.sqrt(p_lp ** 2 - w0 ** 2 + 0j)
+    poles = np.concatenate([p_lp + disc, p_lp - disc])
+    zeros = np.zeros(order)                    # order zeros at s=0
+    gain = bw ** order
+    # bilinear transform (fs=2): s = 4 * (z-1)/(z+1)
+    fs2 = 2.0 * 2.0
+    pz = (fs2 + poles) / (fs2 - poles)
+    zz = (fs2 + zeros) / (fs2 - zeros)
+    gz = gain * np.real(np.prod(fs2 - zeros) / np.prod(fs2 - poles))
+    zz = np.concatenate([zz, -np.ones(len(pz) - len(zz))])
+    b = np.real(gz * np.poly(zz))
+    a = np.real(np.poly(pz))
+    return b, a
+
+
+def lfilter(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Direct-form-II-transposed IIR filter (scipy.signal.lfilter
+    semantics). Inherently sequential along the signal — runs per doc
+    inside a grouped pUDF; not a hot-path kernel."""
+    b = np.asarray(b, "float64") / a[0]
+    a = np.asarray(a, "float64") / a[0]
+    n = max(len(a), len(b))
+    z = np.zeros(n - 1)
+    y = np.empty_like(x, dtype="float64")
+    for i, xi in enumerate(x):
+        yi = b[0] * xi + z[0]
+        for j in range(n - 2):
+            z[j] = b[j + 1] * xi + z[j + 1] - a[j + 1] * yi
+        z[n - 2] = b[n - 1] * xi - a[n - 1] * yi
+        y[i] = yi
+    return y
+
+
+def log_histogram_bin_edges(dists: np.ndarray, n_bins: int) -> np.ndarray:
+    """Geometrically spaced histogram edges (fractal.py:21-38)."""
+    dists = np.asarray(dists, "float64")
+    lower = dists.min()
+    if lower == 0:
+        diffs = np.absolute(np.diff(dists))
+        lower = diffs.min() if diffs.size else 0.0
+    if lower == 0:
+        srt = np.sort(dists)
+        nz = srt[srt > 0]
+        lower = nz[0] if nz.size else np.finfo("float64").eps
+    return np.geomspace(lower, dists.max(), n_bins + 1)
+
+
+def lorenz_attractor(n: int = 1000, s: float = 10.0, r: float = 28.0,
+                     b: float = 8.0 / 3.0, dt: float = 0.01,
+                     init: tuple = (0.0, 1.0, 1.05)) -> np.ndarray:
+    """Euler-integrated Lorenz system (fractal.py:116-138) — test-data
+    generator for the nonlinear kernels."""
+    out = np.empty((n, 3))
+    x, y, z = init
+    for i in range(n):
+        dx, dy, dz = s * (y - x), r * x - y - x * z, x * y - b * z
+        x, y, z = x + dt * dx, y + dt * dy, z + dt * dz
+        out[i] = (x, y, z)
+    return out
+
+
+def pca(data: np.ndarray, n_comps: int = 2):
+    """SVD PCA (tools.py:17-37): returns (top singular values, top
+    right-singular vectors, centered data projected)."""
+    centered = data - data.mean(axis=0)
+    _, vals, vects = np.linalg.svd(centered, full_matrices=False)
+    idx = np.flip(vals.argsort())[:n_comps]
+    vals, vects = vals[idx], vects[idx]
+    return vals, vects, centered @ vects.T

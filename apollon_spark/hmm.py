@@ -1,0 +1,255 @@
+"""Poisson hidden-Markov sequence descriptors (SURVEY §2.7).
+
+The reference delegates EM to an external C library
+(``chainsaddiction.hmm_poisson_fit_em``, hmm/poisson.py:89-90) with
+max_iter=1000, tol=1e-5. The engine reimplements scaled
+forward-backward EM in numpy and runs it per doc inside one
+``mapInPandas`` stage — docs rows are self-contained, so model fitting
+is shuffle-free and embarrassingly parallel.
+
+Init methods mirror hmm/utilities.py:120-358; randomized inits are made
+deterministic with a per-doc seed derived from crc32(doc_id). Fitted
+states are sorted ascending by lambda (sort_param semantics,
+hmm/utilities.py:448-478) so results are comparable across runs.
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+# ---------------------------------------------------------------------------
+# Input contract (hmm/poisson.py:404-421)
+# ---------------------------------------------------------------------------
+
+def assert_poisson_input(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x)
+    if x.ndim != 1:
+        raise ValueError("input must be one-dimensional")
+    if not np.issubdtype(x.dtype, np.integer):
+        raise TypeError("input must be integer-typed")
+    if (x < 0).any():
+        raise ValueError("input must be non-negative")
+    return x.astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Initializers (hmm/utilities.py)
+# ---------------------------------------------------------------------------
+
+def init_lambda(x: np.ndarray, m: int, method: str = "quantile",
+                rng: np.random.Generator | None = None) -> np.ndarray:
+    if method == "quantile":
+        # hmm/utilities.py:160-181
+        if 3 <= m <= 100:
+            q_range = np.linspace(100 / (m + 1), 100, m + 1)[:-1]
+            return np.percentile(x, q_range)
+        if m == 2:
+            return np.percentile(x, [25, 75])
+        if m == 1:
+            return np.atleast_1d(np.median(x))
+        raise ValueError(f"bad m={m}")
+    if method == "linear":
+        return np.linspace(x.min(), x.max(), m).astype("float64")
+    if method == "hist":
+        # hmm/utilities.py:126-141: centers of the m most frequent of 10 bins
+        frqs, edges = np.histogram(x, bins=10)
+        centers = (edges[:-1] + edges[1:]) / 2
+        return np.sort(centers[frqs.argsort()[::-1]][:m])
+    if method == "random":
+        rng = rng or np.random.default_rng()
+        return rng.integers(x.min(), max(x.max(), x.min() + 1), m).astype("float64")
+    raise ValueError(f"unknown init_lambda method {method!r}")
+
+
+def init_gamma(m: int, method: str = "uniform", fill_diag: float = 0.8,
+               alpha=None, rng: np.random.Generator | None = None) -> np.ndarray:
+    if method == "uniform":
+        # hmm/utilities.py:248-269
+        g = np.full((m, m), (1.0 - fill_diag) / (m - 1))
+        np.fill_diagonal(g, fill_diag)
+        return g
+    rng = rng or np.random.default_rng()
+    if method == "softmax":
+        g = rng.random((m, m))
+        return np.exp(g) / np.exp(g).sum(axis=1, keepdims=True)
+    if method == "dirichlet":
+        alpha = np.atleast_1d(alpha if alpha is not None else np.ones(m))
+        return np.vstack([rng.dirichlet(np.roll(alpha, i)) for i in range(m)])
+    raise ValueError(f"unknown init_gamma method {method!r}")
+
+
+def stationary_distr(tpm: np.ndarray) -> np.ndarray:
+    """hmm/utilities.py:346-358: solve (I - Gamma + 1)^T x = 1."""
+    m = tpm.shape[0]
+    return np.linalg.solve((np.eye(m) - tpm + 1).T, np.ones(m))
+
+
+def init_delta(gamma: np.ndarray, method: str = "stationary",
+               alpha=None, rng: np.random.Generator | None = None) -> np.ndarray:
+    m = gamma.shape[0]
+    if method == "stationary":
+        return stationary_distr(gamma)
+    if method == "uniform":
+        return np.full(m, 1.0 / m)
+    rng = rng or np.random.default_rng()
+    if method == "softmax":
+        v = rng.random(m)
+        return np.exp(v) / np.exp(v).sum()
+    if method == "dirichlet":
+        alpha = np.atleast_1d(alpha if alpha is not None else np.ones(m))
+        return rng.dirichlet(alpha)
+    raise ValueError(f"unknown init_delta method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# EM (engine reimplementation of the chainsaddiction fit)
+# ---------------------------------------------------------------------------
+
+def _log_poisson_pmf(x: np.ndarray, lams: np.ndarray) -> np.ndarray:
+    """(T, m) log pmf table. log(x!) via a cumulative-log table (no
+    scipy.gammaln here; x are small ints)."""
+    xmax = int(x.max())
+    log_fact = np.concatenate([[0.0], np.cumsum(np.log(np.arange(1, xmax + 1)))])
+    lams = np.maximum(lams, 1e-12)
+    return (x[:, None] * np.log(lams)[None, :]
+            - lams[None, :] - log_fact[x][:, None])
+
+
+def poisson_em(x: np.ndarray, m: int, lam: np.ndarray, gamma: np.ndarray,
+               delta: np.ndarray, max_iter: int = 1000,
+               tol: float = 1e-5) -> dict:
+    """Scaled forward-backward EM for a univariate Poisson HMM.
+
+    Returns dict with lambda/gamma/delta (states sorted ascending by
+    lambda), nll, aic, bic, n_iter, success. Free-parameter count for
+    AIC/BIC: m (lambdas) + m(m-1) (tpm off-diagonals) = m^2.
+    """
+    x = assert_poisson_input(x)
+    T = x.size
+    lam, gamma, delta = (np.array(lam, "float64"), np.array(gamma, "float64"),
+                         np.array(delta, "float64"))
+    ll_prev = -np.inf
+    success = False
+    n_iter = max_iter
+    for it in range(1, max_iter + 1):
+        logb = _log_poisson_pmf(x, lam)
+        bmax = logb.max(axis=1, keepdims=True)
+        b = np.exp(logb - bmax)                       # (T, m), row max = 1
+
+        # scaled forward
+        alpha = np.empty((T, m))
+        c = np.empty(T)
+        phi = delta * b[0]
+        c[0] = phi.sum()
+        alpha[0] = phi / c[0]
+        for t in range(1, T):
+            phi = (alpha[t - 1] @ gamma) * b[t]
+            c[t] = phi.sum()
+            alpha[t] = phi / c[t]
+        ll = np.log(c).sum() + bmax.sum()
+
+        # scaled backward
+        beta = np.empty((T, m))
+        beta[-1] = 1.0
+        for t in range(T - 2, -1, -1):
+            beta[t] = (gamma @ (b[t + 1] * beta[t + 1])) / c[t + 1]
+
+        post = alpha * beta                            # (T, m) posteriors
+        post /= post.sum(axis=1, keepdims=True)
+
+        # xi sums for the tpm update
+        xi = gamma * (alpha[:-1].T @ ((b[1:] * beta[1:]) / c[1:, None]))
+        gamma = xi / xi.sum(axis=1, keepdims=True)
+        wsum = post.sum(axis=0)
+        lam = (post * x[:, None]).sum(axis=0) / np.maximum(wsum, 1e-300)
+        delta = post[0]
+
+        if np.abs(ll - ll_prev) < tol:
+            success = True
+            n_iter = it
+            break
+        ll_prev = ll
+
+    # canonical ordering: states ascending by lambda (sort_param,
+    # hmm/utilities.py:448-478)
+    order = np.argsort(lam)
+    lam = lam[order]
+    gamma = gamma[np.ix_(order, order)]
+    delta = delta[order]
+
+    nll = -ll
+    k = m * m
+    aic = 2.0 * nll + 2.0 * k
+    bic = 2.0 * nll + k * np.log(T)
+    return {"lambda": lam, "gamma": gamma, "delta": delta, "nll": float(nll),
+            "aic": float(aic), "bic": float(bic), "n_iter": int(n_iter),
+            "success": bool(success)}
+
+
+def fit_poisson_hmm(x: np.ndarray, m_states: int,
+                    init_lambda_method: str = "quantile",
+                    init_gamma_method: str = "uniform",
+                    init_delta_method: str = "stationary",
+                    fill_diag: float = 0.8, seed: int | None = None,
+                    max_iter: int = 1000, tol: float = 1e-5) -> dict:
+    """Init (reference defaults, hmm/poisson.py:42-44) + EM."""
+    x = assert_poisson_input(np.asarray(x))
+    rng = np.random.default_rng(seed)
+    lam = init_lambda(x, m_states, init_lambda_method, rng)
+    gam = init_gamma(m_states, init_gamma_method, fill_diag, rng=rng)
+    del_ = init_delta(gam, init_delta_method, rng=rng)
+    return poisson_em(x, m_states, lam, gam, del_, max_iter, tol)
+
+
+# ---------------------------------------------------------------------------
+# Spark stage
+# ---------------------------------------------------------------------------
+
+HMM_SCHEMA = (
+    "doc_id string, m_states int, lambda array<double>, "
+    "gamma array<array<double>>, delta array<double>, "
+    "nll double, aic double, bic double, n_iter int, success boolean"
+)
+
+
+def fit_hmm_docs(docs: DataFrame, m_states: int = 3,
+                 init_lambda_method: str = "quantile",
+                 init_gamma_method: str = "uniform",
+                 init_delta_method: str = "stationary",
+                 fill_diag: float = 0.8, max_iter: int = 1000,
+                 tol: float = 1e-5, max_obs: int | None = None) -> DataFrame:
+    """One fitted Poisson HMM per doc — shuffle-free mapInPandas.
+
+    ``max_obs``: optionally fit on the first N observations (bounds
+    per-doc EM cost on whales; the regime structure is stationary)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype="int64")
+                if max_obs:
+                    x = x[:max_obs]
+                seed = zlib.crc32(str(doc_id).encode()) & 0xFFFFFFFF
+                try:
+                    res = fit_poisson_hmm(
+                        x, m_states, init_lambda_method, init_gamma_method,
+                        init_delta_method, fill_diag, seed, max_iter, tol)
+                except Exception:
+                    rows.append((doc_id, m_states, None, None, None,
+                                 None, None, None, 0, False))
+                    continue
+                rows.append((doc_id, m_states, res["lambda"].tolist(),
+                             [r.tolist() for r in res["gamma"]],
+                             res["delta"].tolist(), res["nll"], res["aic"],
+                             res["bic"], res["n_iter"], res["success"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "m_states", "lambda", "gamma", "delta", "nll",
+                "aic", "bic", "n_iter", "success"])
+
+    return docs.select("doc_id", "tokens").mapInPandas(gen, HMM_SCHEMA)

@@ -1,0 +1,221 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash families use explicit integer arithmetic (no engine-native
+hash functions) so results are deterministic and reproducible in plain
+ANSI SQL — important both for the correctness oracle and for
+cross-engine lineage audits.
+
+Scale notes: exact dedup is one hash-shuffle; MinHash-LSH turns the
+O(n^2) pair problem into |bands| equi-join buckets (the classic
+shingle -> minhash -> band -> bucket-join pipeline); SimHash gives a
+64-bit near-dup key that can be prefix-bucketed.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE = 2_147_483_647          # 2^31 - 1
+_A0, _B0 = 1_103_515_245, 12_345  # LCG-style deterministic hash params
+
+
+def hash_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine hash family
+    h_j(x) = (a_j * x + b_j) mod (2^31 - 1)."""
+    out = []
+    a, b = _A0 + seed, _B0 + seed
+    for _ in range(n_hashes):
+        a = (a * 40_014) % (MERSENNE - 1) + 1
+        b = (b * 40_692 + 1) % MERSENNE
+        out.append((a, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest id per distinct content value; one
+    hash-shuffle on the content hash (not the full content when wide).
+    Returns the surviving rows plus ``dup_count``."""
+    groups = (
+        df.groupBy(content_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+    return df.join(groups, [content_col, id_col], "inner")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature_col(arr: Column, n_hashes: int, seed: int = 7) -> Column:
+    """MinHash signature of an array<int> column: for each hash j,
+    min over elements of (a_j * x + b_j) mod (2^31-1). Pure array SQL
+    (JVM-side), no UDF."""
+    sigs = [
+        F.array_min(F.transform(
+            arr, lambda x: (F.lit(a) * x.cast("long") + F.lit(b)) % MERSENNE))
+        for a, b in hash_params(n_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def token_shingles(arr: Column, k: int) -> Column:
+    """k-gram shingles of an array<int> column, each folded to one int
+    via a rolling polynomial hash (mod 2^31-1)."""
+    def fold(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(k):
+            acc = (acc * 1_000_003 + F.element_at(arr, i + j).cast("long")) % MERSENNE
+        return acc
+    n = F.size(arr)
+    return F.transform(F.sequence(F.lit(1), n - (k - 1)), fold)
+
+
+def minhash_docs(docs: DataFrame, n_hashes: int = 16, shingle_k: int = 3,
+                 seed: int = 7, id_col: str = "doc_id",
+                 arr_col: str = "tokens") -> DataFrame:
+    """(id, signature array<long>) over token shingles."""
+    sh = token_shingles(F.col(arr_col), shingle_k)
+    return docs.select(
+        id_col,
+        minhash_signature_col(sh, n_hashes, seed).alias("signature"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join on (band, band-signature) —
+    the bucket join that replaces the O(n^2) comparison. Returns
+    distinct candidate pairs (id_a < id_b)."""
+    n_hashes = None  # rows per band derived from the signature length
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.slice(
+                    "signature",
+                    b * (F.size("signature") / n_bands).cast("int") + 1,
+                    (F.size("signature") / n_bands).cast("int")),
+            )).alias("band", "band_sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col(f"a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_col(arr_a: Column, arr_b: Column) -> Column:
+    """Exact Jaccard over distinct elements (verification step after
+    LSH candidate generation)."""
+    da, db = F.array_distinct(arr_a), F.array_distinct(arr_b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(docs: DataFrame, n_hashes: int = 16,
+                        n_bands: int = 4, shingle_k: int = 3,
+                        threshold: float = 0.7, seed: int = 7,
+                        id_col: str = "doc_id",
+                        arr_col: str = "tokens") -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH buckets ->
+    exact-Jaccard verify on shingle sets. Returns (id_a, id_b, jaccard)
+    pairs above threshold."""
+    sh = docs.select(id_col, token_shingles(F.col(arr_col), shingle_k)
+                     .alias("shingles"))
+    sigs = sh.select(
+        id_col, "shingles",
+        minhash_signature_col(F.col("shingles"), n_hashes, seed)
+        .alias("signature"))
+    cands = lsh_candidate_pairs(sigs.select(id_col, "signature"), n_bands,
+                                id_col)
+    a = sh.select(F.col(id_col).alias("id_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"),
+                  F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_col(arr: Column, n_bits: int = 32) -> Column:
+    """SimHash over an array<int> column: element x is mixed by a
+    Knuth multiplier, then each bit votes +-1; the sign vector is the
+    fingerprint. Pure integer SQL."""
+    mixed = F.transform(
+        arr, lambda x: (x.cast("long") * 2_654_435_761) % 4_294_967_296)
+    bits = []
+    for b in range(n_bits):
+        vote = F.aggregate(
+            mixed, F.lit(0).cast("long"),
+            lambda acc, m: acc + F.when(
+                m.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1))
+        bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out + bit
+    return out.cast("long")
+
+
+def hamming_distance_col(a: Column, b: Column, n_bits: int = 32) -> Column:
+    """Popcount of XOR via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      n_bits: int = 32, prefix_bits: int = 8,
+                      id_col: str = "doc_id",
+                      arr_col: str = "tokens") -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` of
+    the fingerprint (scale path; near dups rarely differ in the prefix),
+    verify Hamming distance within buckets."""
+    sh = docs.select(id_col, simhash_col(F.col(arr_col), n_bits).alias("sh"))
+    bucketed = sh.withColumn(
+        "bkt", F.shiftright("sh", n_bits - prefix_bits))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming_distance_col(F.col("a.sh"), F.col("b.sh"), n_bits)
+                .alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, for candidate sets / small scopes)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, arr_col: str, k: int,
+                        threshold: float, scope: Column | None = None) -> DataFrame:
+    """All-pairs k-gram Jaccard above threshold. O(n^2) within the
+    optional ``scope`` filter — use LSH first at scale."""
+    base = df.where(scope) if scope is not None else df
+    sh = base.select(id_col,
+                     F.array_distinct(token_shingles(F.col(arr_col), k))
+                     .alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

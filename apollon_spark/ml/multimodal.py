@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode step is STUBBED (no codec libraries in this environment):
+``fake_decode=True`` derives a deterministic feature vector from the
+bytes so the Spark-side plumbing — schema, partition sizing, Arrow
+batch shape, UDF signatures — is real and tested; ``fake_decode=False``
+raises NotImplementedError at the exact seam where a real
+decoder (PIL/libsndfile/ffmpeg) would plug in.
+
+Scale notes: binary payloads dominate partition size, so stages set
+``maxRecordsPerBatch`` expectations low and never collect payloads;
+metadata-only projections prune the binary column at the parquet scan.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("media_id string, kind string, payload binary, "
+                "mime string, width int, height int, duration_ms int")
+
+
+def synth_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                seed = int(i)
+                payload = hashlib.sha256(f"media{seed}".encode()).digest() * 8
+                rows.append((f"m{seed:06d}", kind, payload,
+                             "application/octet-stream",
+                             64 + seed % 32, 64 + seed % 16,
+                             1000 + seed * 10))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms"])
+    return spark.range(n).repartition(2).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a decoder+encoder: bytes -> sha256
+    stream -> dim floats in [0, 1)."""
+    need = dim * 4
+    buf = b""
+    h = payload
+    while len(buf) < need:
+        h = hashlib.sha256(h).digest()
+        buf += h
+    arr = np.frombuffer(buf[:need], dtype="<u4").astype("float64")
+    return arr / 2**32
+
+
+def extract_media_features(media: DataFrame, dim: int = 16,
+                           fake_decode: bool = True) -> DataFrame:
+    """Decode + feature-extract stage: (media_id, kind, feature
+    array<double>). Vectorized mapInPandas over binary payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries "
+                    "(PIL / soundfile / ffmpeg) not present here; "
+                    "plug the decoder in at this seam")
+            feats = [_fake_features(p, dim) for p in pdf["payload"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"],
+                                "feature": feats})
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, "media_id string, kind string, feature array<double>")
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Video frame-sampling plan (metadata-only — prunes the payload
+    column at the scan): one row per sampled frame timestamp."""
+    return (
+        media.select("media_id", "duration_ms")
+        .withColumn("frame_ts_ms", F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))))
+    )

@@ -1,0 +1,68 @@
+"""Nonlinear / time-structure descriptors per doc (SURVEY §2.4-2.5
+heavy kernels): correlation dimension (cdim), correlogram, acf,
+Butterworth bandpass — one shuffle-free mapInPandas stage each.
+
+These kernels are O(n^2)-ish per window, so they run on a bounded
+prefix/window of each doc (configurable) exactly like the reference
+applies them to fixed-length segments (cdim needs >= 2400 samples,
+features.py:24-73)."""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .functions import kernels
+
+NONLINEAR_SCHEMA = ("doc_id string, cdim double, correlogram double, "
+                    "acf_lag1 double, acf_min_lag int")
+
+
+def extract_nonlinear(docs: DataFrame, corr_wlen: int = 50,
+                      corr_delay: int = 10,
+                      max_samples: int = 4096) -> DataFrame:
+    """Per-doc nonlinear battery on the first ``max_samples`` tokens:
+    Bader cdim (if >= 2400 samples), total correlogram, acf stats."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                sig = np.asarray(tokens, dtype="float64")[:max_samples]
+                cdim = np.nan
+                if sig.size >= 2400:
+                    cdim = kernels.cdim_bader(sig)
+                corr = np.nan
+                if sig.size > corr_wlen + corr_delay:
+                    corr = float(kernels.correlogram(
+                        sig, corr_wlen, corr_delay, total=True)[0])
+                a = kernels.acf(sig)
+                lag1 = float(a[1]) if a.size > 1 else np.nan
+                neg = np.where(a < 0)[0]
+                min_lag = int(neg[0]) if neg.size else -1
+                rows.append((doc_id, cdim, corr, lag1, min_lag))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "cdim", "correlogram", "acf_lag1", "acf_min_lag"])
+
+    return docs.select("doc_id", "tokens").mapInPandas(gen, NONLINEAR_SCHEMA)
+
+
+def bandpass_docs(docs: DataFrame, fps: int, low: float, high: float,
+                  order: int = 4) -> DataFrame:
+    """Butterworth bandpass per doc (signal/filter.py:13-46): returns
+    (doc_id, filtered array<double>). IIR state is order-dependent so
+    each doc filters sequentially inside the UDF; docs in a batch are
+    independent."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b, a = kernels.butter_bandpass_coef(low, high, fps, order)
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                sig = np.asarray(tokens, dtype="float64")
+                rows.append((doc_id, kernels.lfilter(b, a, sig)))
+            yield pd.DataFrame(rows, columns=["doc_id", "filtered"])
+
+    return docs.select("doc_id", "tokens").mapInPandas(
+        gen, "doc_id string, filtered array<double>")

@@ -1,0 +1,166 @@
+"""Onset detection + event gathers (SURVEY §2.6, M4).
+
+Pipeline shape (reference FluxOnsetDetector, onsets.py:179-216):
+docs -> fused STFT feature stage (flux column) -> per-doc mean floor
+(window agg) -> stateful peak-picker scan (recursive smoother,
+onsets.py:227-262 — order-dependent, so a per-doc grouped pUDF) ->
+onsets table. ``by_onsets_gather`` is the as-of gather of fixed windows
+at irregular positions (segment.py:445-475) done in pure array SQL.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions import kernels
+from .spectral import FeatureConfig, extract_features
+
+
+# ---------------------------------------------------------------------------
+# Onset detection functions (odf)
+# ---------------------------------------------------------------------------
+
+def flux_odf(docs: DataFrame, cfg: FeatureConfig | None = None) -> DataFrame:
+    """(doc_id, seg_idx, frame, time, value): total spectral flux with
+    the per-doc mean floor (onsets.py:201-216:
+    ``value = max(flux, flux.mean())``)."""
+    from .operators.framing import FramingParams
+    cfg = cfg or FeatureConfig(framing=FramingParams(1024, 512))
+    feats = extract_features(docs, cfg)
+    w = Window.partitionBy("doc_id")
+    return (
+        feats.select("doc_id", "seg_idx", "center", "ts", "flux")
+        .withColumn("value", F.greatest(F.col("flux"), F.avg("flux").over(w)))
+        .select("doc_id", "seg_idx",
+                F.col("center").alias("frame"),
+                F.col("ts").alias("time"), "value")
+    )
+
+
+def entropy_odf(docs: DataFrame, cfg: FeatureConfig | None = None) -> DataFrame:
+    """(doc_id, seg_idx, frame, time, value): delay-embedding entropy
+    per segment (EntropyOnsetDetector semantics, onsets.py:125-176; the
+    reference's loop writes time over frame and floors only the last
+    element — we implement the documented intent: frame = center,
+    time = center/fps, no floor)."""
+    from .operators.framing import FramingParams
+    cfg = cfg or FeatureConfig(framing=FramingParams(1024, 512),
+                               with_entropy=True)
+    if not cfg.with_entropy:
+        raise ValueError("entropy_odf needs cfg.with_entropy=True")
+    feats = extract_features(docs, cfg)
+    return feats.select(
+        "doc_id", "seg_idx", F.col("center").alias("frame"),
+        F.col("ts").alias("time"), F.col("entropy").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Peak picking (onsets.py:219-262) — stateful scan, exact semantics
+# ---------------------------------------------------------------------------
+
+def pick_peaks_series(vals: np.ndarray, n_after: int = 10, n_before: int = 10,
+                      alpha: float = 0.1, delta: float = 0.1) -> np.ndarray:
+    """FilterPeakPicker.detect parity: local max over the clip-indexed
+    window AND >= window mean + delta AND >= the recursive smoother
+    ``g[n+1] = max(val, alpha*g[n] + (1-alpha)*val)``."""
+    g = 0.0
+    out = []
+    n = len(vals)
+    for i in range(n):
+        val = vals[i]
+        idx = np.clip(np.arange(i - n_before, i + n_after + 1), 0, n - 1)
+        window = vals[idx]
+        cond1 = np.all(val >= window)
+        cond2 = val >= (window.mean() + delta)
+        foo = max(val, alpha * g + (1 - alpha) * val)
+        cond3 = val >= foo
+        g = foo
+        if cond1 and cond2 and cond3:
+            out.append(i)
+    return np.array(out, dtype="int64")
+
+
+def pick_peaks(odf: DataFrame, n_after: int = 10, n_before: int = 10,
+               alpha: float = 0.1, delta: float = 0.1) -> DataFrame:
+    """Filter the odf down to peak rows. The recursion is
+    order-dependent, so this is a per-doc grouped pUDF over the (small)
+    odf table — the token-heavy stages never re-shuffle."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seg_idx").reset_index(drop=True)
+        peaks = pick_peaks_series(pdf["value"].to_numpy(),
+                                  n_after, n_before, alpha, delta)
+        return pdf.iloc[peaks]
+
+    return odf.groupBy("doc_id").applyInPandas(fn, odf.schema)
+
+
+def detect_onsets(docs: DataFrame, cfg: FeatureConfig | None = None,
+                  method: str = "flux", **pp) -> DataFrame:
+    """Full detector: odf -> peaks -> (doc_id, frame, time)."""
+    from .operators.framing import FramingParams
+    if method == "flux":
+        cfg = cfg or FeatureConfig(framing=FramingParams(1024, 512))
+        odf = flux_odf(docs, cfg)
+    elif method == "entropy":
+        odf = entropy_odf(docs, cfg)
+    else:
+        raise ValueError(method)
+    return pick_peaks(odf, **pp).select("doc_id", "frame", "time")
+
+
+# ---------------------------------------------------------------------------
+# by_onsets gather (segment.py:445-475) — pure array SQL
+# ---------------------------------------------------------------------------
+
+def by_onsets_gather(docs: DataFrame, onsets: DataFrame, n_perseg: int,
+                     off: int = 0) -> DataFrame:
+    """Fixed-length windows starting at irregular onset positions.
+
+    Exact reference clipping: start = clip(frame + off, 0, n_tok - 1);
+    windows running past the end are zero-padded. Implemented as a join
+    (broadcast when onsets are small; Catalyst/AQE decide) + array
+    slice/pad — no Python.
+    Output: (doc_id, onset_idx, frame, window array<int>).
+    """
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    ons = onsets.select("doc_id", "frame") \
+                .withColumn("onset_idx", F.row_number().over(w) - 1)
+    j = ons.join(docs.select("doc_id", "tokens", "n_tok"), "doc_id")
+    pos = F.greatest(F.lit(0),
+                     F.least(F.col("frame") + off, F.col("n_tok") - 1))
+    take = F.least(F.lit(n_perseg), F.col("n_tok") - pos)
+    pad = F.lit(n_perseg) - take
+    win = F.concat(
+        F.slice(F.col("tokens"), (pos + 1).cast("int"), take.cast("int")),
+        F.when(pad > 0, F.array_repeat(F.lit(0), pad.cast("int")))
+         .otherwise(F.array().cast("array<int>")))
+    return j.select("doc_id", "onset_idx", "frame", win.alias("window"))
+
+
+def log_attack_time(docs: DataFrame, onsets: DataFrame, fps: int = 9000,
+                    wlen: float = 0.05) -> DataFrame:
+    """Log attack time per onset (features.py:361-382): argmax of
+    |hilbert| inside the fps*wlen window after each onset; 0 -> 1.0
+    before the log."""
+    n = int(fps * wlen)
+    gathered = by_onsets_gather(docs, onsets, n)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            segs = np.stack([np.asarray(wv, "float64")
+                             for wv in pdf["window"]])
+            att = kernels.hilbert_magnitude(segs).argmax(axis=1) / fps
+            att = np.where(att == 0.0, 1.0, att)
+            out = pdf[["doc_id", "onset_idx", "frame"]].copy()
+            out["log_attack_time"] = np.log(att)
+            yield out
+
+    return gathered.mapInPandas(
+        gen, "doc_id string, onset_idx int, frame long, log_attack_time double")

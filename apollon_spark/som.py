@@ -1,0 +1,329 @@
+"""Self-organizing map sequence descriptors (SURVEY §2.8, §3.3).
+
+The reference's ``IncrementalMap`` is an inherently sequential Kohonen
+loop (som/som.py:314-345: per-row weight updates in permutation order).
+That cannot scale, so the engine implements BATCH SOM — the math the
+reference itself sketches in its commented-out ``_batch_update``
+(som/som.py:381-399): per epoch, every input row is assigned its BMU
+with the CURRENT weights, and new weights are the neighborhood-kernel-
+weighted mean ``w_u = sum_i h(bmu_i, u) x_i / sum_i h(bmu_i, u)``.
+
+Distribution: weights are a small (n_units x dim) matrix broadcast to
+executors each epoch; one ``mapInPandas`` pass computes per-partition
+partials ``(sum h.x, sum h)`` per unit; the driver combines and
+updates. An epoch is one scan — no shuffle.
+
+A driver-side ``incremental_fit`` reproduces the reference's exact
+sequential semantics (fixed np.random.seed(10), som/som.py:327) for
+small-scale parity.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Grid + kernels (som/som.py:20-63, som/neighbors.py:24-104)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SomGrid:
+    n_rows: int
+    n_cols: int
+
+    @property
+    def n_units(self) -> int:
+        return self.n_rows * self.n_cols
+
+    @property
+    def positions(self) -> np.ndarray:
+        """(n_units, 2) lattice coordinates, row-major."""
+        rr, cc = np.meshgrid(np.arange(self.n_rows), np.arange(self.n_cols),
+                             indexing="ij")
+        return np.stack([rr.ravel(), cc.ravel()], axis=1).astype("float64")
+
+
+def grid_dists(grid: SomGrid) -> np.ndarray:
+    """(n_units, n_units) Euclidean lattice distances."""
+    pos = grid.positions
+    diff = pos[:, None, :] - pos[None, :, :]
+    return np.sqrt((diff ** 2).sum(-1))
+
+
+def gauss_kernel(dists: np.ndarray, radius: float) -> np.ndarray:
+    """exp(-d^2 / (2 r^2)) (som/neighbors.py gaussian)."""
+    return np.exp(-np.square(dists) / (2.0 * radius * radius))
+
+
+def mexican_kernel(dists: np.ndarray, radius: float) -> np.ndarray:
+    """Ricker wavelet neighborhood."""
+    a = np.square(dists) / (radius * radius)
+    return (1.0 - a) * np.exp(-a / 2.0)
+
+
+def rect_kernel(dists_cheb: np.ndarray, radius: float) -> np.ndarray:
+    return (dists_cheb <= radius).astype("float64")
+
+
+KERNELS = {"gaussian": gauss_kernel, "mexican": mexican_kernel,
+           "rect": rect_kernel}
+
+
+# ---------------------------------------------------------------------------
+# Metrics + BMU (som/utilities.py:79-115)
+# ---------------------------------------------------------------------------
+
+def cdist(a: np.ndarray, b: np.ndarray, metric: str = "euclidean") -> np.ndarray:
+    """(len(a), len(b)) pairwise distances — numpy replacement for
+    scipy.spatial.distance.cdist for the metrics the reference uses."""
+    if metric == "euclidean":
+        aa = np.einsum("ij,ij->i", a, a)[:, None]
+        bb = np.einsum("ij,ij->i", b, b)[None, :]
+        return np.sqrt(np.maximum(aa + bb - 2.0 * (a @ b.T), 0.0))
+    if metric == "cityblock":
+        return np.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+    if metric == "hellinger":
+        return hellinger_cdist(a, b)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def hellinger(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-wise Hellinger distance sqrt(0.5 * sum (sqrt(p)-sqrt(q))^2)
+    (reference C kernel som/distance.c:13-26)."""
+    return np.sqrt(0.5 * np.square(np.sqrt(p) - np.sqrt(q)).sum(-1))
+
+
+def hellinger_stm(stma: np.ndarray, stmb: np.ndarray, m: int) -> float:
+    """Mean row-wise Hellinger distance between two flattened m x m
+    stochastic matrices (som/_distance_module.c hellinger_stm) — the
+    SOM metric for comparing HMM transition matrices."""
+    pa, pb = stma.reshape(m, m), stmb.reshape(m, m)
+    return float(hellinger(pa, pb).mean())
+
+
+def hellinger_cdist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise hellinger_stm over flattened stochastic matrices; the
+    row length must be a perfect square."""
+    m = int(round(np.sqrt(a.shape[1])))
+    ra = np.sqrt(a.reshape(len(a), m, m))
+    rb = np.sqrt(b.reshape(len(b), m, m))
+    d = ra[:, None, :, :] - rb[None, :, :, :]
+    return np.sqrt(0.5 * np.square(d).sum(-1)).mean(-1)
+
+
+def best_match(weights: np.ndarray, inp: np.ndarray,
+               metric: str = "euclidean") -> tuple[np.ndarray, np.ndarray]:
+    """BMU index + distance per input row (som/utilities.py:79-115:
+    cdist(weights, inp).argmin(axis=0), ties -> first unit)."""
+    d = cdist(weights, np.atleast_2d(inp), metric)
+    return d.argmin(axis=0), d.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Weight init (som/utilities.py:118-222)
+# ---------------------------------------------------------------------------
+
+def init_weights(method: str, dims: tuple[int, int, int],
+                 data: np.ndarray | None = None,
+                 seed: int = 10) -> np.ndarray:
+    n_rows, n_cols, d = dims
+    n_units = n_rows * n_cols
+    rng = np.random.default_rng(seed)
+    if method == "rnd":
+        lo = data.min(axis=0) if data is not None else np.zeros(d)
+        hi = data.max(axis=0) if data is not None else np.ones(d)
+        return rng.uniform(lo, hi, (n_units, d))
+    if method == "stm":
+        # rows of Dirichlet-sampled stochastic matrices (for Gamma-SOMs)
+        m = int(round(np.sqrt(d)))
+        out = np.empty((n_units, d))
+        for i in range(n_units):
+            out[i] = np.concatenate(
+                [rng.dirichlet(np.ones(m)) for _ in range(m)])
+        return out
+    if method == "hist":
+        out = rng.dirichlet(np.ones(d), n_units)
+        return out
+    if method == "pca":
+        if data is None:
+            raise ValueError("pca init needs data")
+        mu = data.mean(axis=0)
+        c = data - mu
+        _, _, vt = np.linalg.svd(c, full_matrices=False)
+        sx = np.linspace(-1, 1, n_rows)
+        sy = np.linspace(-1, 1, n_cols)
+        scale = c.std(axis=0).mean() * 2
+        grid = np.array([[a, b] for a in sx for b in sy])
+        return mu + scale * grid @ vt[:2]
+    raise ValueError(f"unknown init {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Batch SOM fit (distributed)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SomParams:
+    n_rows: int = 10
+    n_cols: int = 10
+    n_iter: int = 10
+    eta_start: float = 0.5            # unused by batch updates; kept for
+    nhr_start: float | None = None    # parity with reference params
+    kernel: str = "gaussian"
+    metric: str = "euclidean"
+    init: str = "rnd"
+    seed: int = 10
+
+
+def _decay_radius(p: SomParams, epoch: int) -> float:
+    """Exponential radius decay to 1 (som/utilities.py:46-69)."""
+    nhr0 = p.nhr_start if p.nhr_start is not None else max(p.n_rows, p.n_cols) / 2.0
+    if p.n_iter <= 1:
+        return max(nhr0, 1.0)
+    return max(nhr0 * (1.0 / nhr0) ** (epoch / (p.n_iter - 1)), 1.0) \
+        if nhr0 > 1 else 1.0
+
+
+def fit_batch_som(vectors: DataFrame, vec_col: str, p: SomParams,
+                  sample_init: int = 1024) -> tuple[np.ndarray, list[float]]:
+    """Distributed batch-SOM. ``vectors`` has an array<double> column
+    ``vec_col``. Returns (weights (n_units, d), per-epoch quantization
+    errors). Each epoch = one broadcast + one mapInPandas scan +
+    driver-side combine (weights are n_units x d — tiny)."""
+    first = vectors.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty input")
+    d = len(first[0])
+    grid = SomGrid(p.n_rows, p.n_cols)
+    gd = grid_dists(grid)
+    sample = np.array(
+        [r[0] for r in vectors.select(vec_col).limit(sample_init).collect()])
+    weights = init_weights(p.init, (p.n_rows, p.n_cols, d), sample, p.seed)
+    kern_fn = KERNELS[p.kernel]
+    metric = p.metric
+    n_units = grid.n_units
+    spark = vectors.sparkSession
+    qerrors: list[float] = []
+
+    partial_schema = ("unit int, wsum array<double>, hsum double, "
+                      "qerr double, n long")
+
+    for epoch in range(p.n_iter):
+        radius = _decay_radius(p, epoch)
+        h_mat = kern_fn(gd, radius)                   # (n_units, n_units)
+        bw = spark.sparkContext.broadcast(
+            {"w": weights, "h": h_mat, "metric": metric})
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            st = bw.value
+            w_, h_ = st["w"], st["h"]
+            num = np.zeros_like(w_)
+            den = np.zeros(w_.shape[0])
+            qe, n = 0.0, 0
+            for pdf in batches:
+                x = np.stack(pdf[vec_col].to_numpy())
+                bmu, dist = best_match(w_, x, st["metric"])
+                hh = h_[bmu]                          # (batch, n_units)
+                num += hh.T @ x
+                den += hh.sum(axis=0)
+                qe += float(dist.sum())
+                n += len(x)
+            qcol = np.zeros(w_.shape[0])
+            ncol = np.zeros(w_.shape[0], dtype="int64")
+            qcol[0], ncol[0] = qe, n          # partition totals on unit 0
+            yield pd.DataFrame({
+                "unit": np.arange(w_.shape[0], dtype="int32"),
+                "wsum": list(num), "hsum": den, "qerr": qcol, "n": ncol})
+
+        parts = vectors.select(vec_col).mapInPandas(gen, partial_schema)
+        agg = (parts.groupBy("unit")
+               .agg(F.array(*[
+                    F.sum(F.element_at("wsum", i + 1)) for i in range(d)
+                    ]).alias("wsum"),
+                    F.sum("hsum").alias("hsum"),
+                    F.sum("qerr").alias("qerr"),
+                    F.sum("n").alias("n"))
+               .orderBy("unit").collect())
+        num = np.stack([np.array(r["wsum"]) for r in agg])
+        den = np.array([r["hsum"] for r in agg])
+        total_q = sum(r["qerr"] for r in agg)
+        total_n = sum(r["n"] for r in agg)
+        mask = den > 0
+        weights = np.where(mask[:, None], num / np.maximum(den, 1e-300)[:, None],
+                           weights)
+        qerrors.append(total_q / max(float(total_n), 1.0))
+        bw.unpersist()
+    return weights, qerrors
+
+
+def assign_bmu(vectors: DataFrame, vec_col: str, weights: np.ndarray,
+               metric: str = "euclidean",
+               out_cols: tuple[str, str] = ("bmu", "bmu_dist")) -> DataFrame:
+    """Attach BMU index + distance to every row — broadcast weights,
+    vectorized argmin per Arrow batch; never a crossJoin."""
+    spark = vectors.sparkSession
+    bw = spark.sparkContext.broadcast({"w": weights, "m": metric})
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+    schema = StructType(list(vectors.schema.fields)
+                        + [StructField(out_cols[0], IntegerType()),
+                           StructField(out_cols[1], DoubleType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bw.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            bmu, dist = best_match(st["w"], x, st["m"])
+            out = pdf.copy()
+            out[out_cols[0]] = bmu.astype("int32")
+            out[out_cols[1]] = dist
+            yield out
+
+    return vectors.mapInPandas(gen, schema)
+
+
+def umatrix(weights: np.ndarray, grid: SomGrid,
+            metric: str = "euclidean") -> np.ndarray:
+    """Mean distance of each unit's weights to its radius-1 lattice
+    neighbors, normalized to max 1 (som/som.py:276-302)."""
+    gd = grid_dists(grid)
+    out = np.empty(grid.n_units)
+    for u in range(grid.n_units):
+        nbrs = np.where((gd[u] > 0) & (gd[u] <= 1.0))[0]
+        out[u] = cdist(weights[u][None, :], weights[nbrs], metric).mean()
+    mx = out.max()
+    return (out / mx if mx > 0 else out).reshape(grid.n_rows, grid.n_cols)
+
+
+# ---------------------------------------------------------------------------
+# Driver-exact incremental fit (parity mode, som/som.py:314-345)
+# ---------------------------------------------------------------------------
+
+def incremental_fit(data: np.ndarray, p: SomParams) -> tuple[np.ndarray, list[float]]:
+    """Sequential Kohonen updates with the reference's schedule: eta
+    linear -> 0, radius expo -> 1, permuted row order, seeded."""
+    np.random.seed(p.seed)        # som/som.py:327 uses the legacy API
+    grid = SomGrid(p.n_rows, p.n_cols)
+    gd = grid_dists(grid)
+    d = data.shape[1]
+    weights = init_weights(p.init, (p.n_rows, p.n_cols, d), data, p.seed)
+    kern = KERNELS[p.kernel]
+    etas = np.linspace(p.eta_start, 0.0, p.n_iter, endpoint=False)
+    qerrors = []
+    for epoch in range(p.n_iter):
+        radius = _decay_radius(p, epoch)
+        for i in np.random.permutation(len(data)):
+            x = data[i]
+            bmu, _ = best_match(weights, x, p.metric)
+            h = kern(gd[bmu[0]], radius)[:, None]
+            weights += etas[epoch] * h * (x - weights)
+        _, dist = best_match(weights, data, p.metric)
+        qerrors.append(float(dist.mean()))
+    return weights, qerrors

@@ -17,7 +17,7 @@ spectrogram) is reassembled with a per-doc window sum in SQL.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -50,19 +50,32 @@ FEATURES_SCHEMA = (
     "doc_id string, seg_idx int, center long, ts double, "
     "energy double, rms double, spl double, centroid double, "
     "spread double, skewness double, kurtosis double, flux double, "
-    "fspl double, loudness double, sharp_num double, loud_part double, "
-    "entropy double"
+    "fspl double, loudness double, sharpness double, entropy double"
 )
+
+# split path emits partial sharpness terms instead and finalizes in SQL
+FEATURES_SPLIT_SCHEMA = FEATURES_SCHEMA.replace(
+    "sharpness double", "sharp_num double, loud_part double")
 
 FEATURE_COLS = ["energy", "rms", "spl", "centroid", "spread", "skewness",
                 "kurtosis", "flux", "fspl", "loudness", "sharpness"]
 
+OUT_COLS = ["doc_id", "seg_idx", "center", "ts", "energy", "rms", "spl",
+            "centroid", "spread", "skewness", "kurtosis", "flux", "fspl",
+            "loudness", "sharpness", "entropy"]
+
 
 def _battery(segs: np.ndarray, cfg: FeatureConfig,
-             frqs: np.ndarray, bank: np.ndarray) -> dict[str, np.ndarray]:
+             frqs: np.ndarray, bank: np.ndarray,
+             final_sharpness: bool = False) -> dict[str, np.ndarray]:
     """All per-segment features from one rfft pass. ``segs`` is
     (n_segs, n_perseg) including any halo rows; flux is computed over
-    the full extent and callers trim halos afterwards."""
+    the full extent and callers trim halos afterwards.
+
+    ``final_sharpness``: when the caller holds the doc's FULL
+    spectrogram (fast path), divide by the whole-doc denominator here —
+    no shuffle needed downstream. Split callers get the partial terms
+    (sharp_num, loud_part) instead and finalize with a window sum."""
     mag = kernels.rfft_mag(segs, cfg.window, cfg.n_fft, cfg.norm)
     cen = kernels.spectral_centroid(frqs, mag)
     spr = kernels.spectral_spread(frqs, mag, cen)
@@ -81,9 +94,14 @@ def _battery(segs: np.ndarray, cfg: FeatureConfig,
         "flux": kernels.spectral_flux(mag),
         "fspl": kernels.fspl(mag, total=True),
         "loudness": loud_spec.sum(axis=1),
-        "sharp_num": cbrs @ (z * w),
-        "loud_part": np.maximum(loud_spec, np.finfo("float64").eps).sum(axis=1),
     }
+    sharp_num = cbrs @ (z * w)
+    loud_part = np.maximum(loud_spec, np.finfo("float64").eps).sum(axis=1)
+    if final_sharpness:
+        out["sharpness"] = sharp_num / loud_part.sum()
+    else:
+        out["sharp_num"] = sharp_num
+        out["loud_part"] = loud_part
     if cfg.with_entropy:
         ent = np.empty(segs.shape[0])
         for i in range(segs.shape[0]):
@@ -142,19 +160,21 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
                         sig, n_perseg, n_overlap, extend, pad)
                     centers = kernels.segment_centers(
                         segs.shape[0], n_perseg, n_overlap, extend)
-                feats = _battery(segs, cfg_b, frqs, bank)
+                feats = _battery(segs, cfg_b, frqs, bank,
+                                 final_sharpness=True)
                 n = segs.shape[0]
                 res = {"doc_id": np.repeat(doc_id, n),
                        "seg_idx": np.arange(n, dtype="int32"),
                        "center": centers,
                        "ts": centers / cfg_b.fps}
                 res.update(feats)
-                out.append(pd.DataFrame(res))
+                out.append(pd.DataFrame(res)[OUT_COLS])
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    raw = docs.select("doc_id", "tokens").mapInPandas(gen, FEATURES_SCHEMA)
-    return _finalize_sharpness(raw)
+    # whole doc per UDF call => sharpness finalized in-UDF: the plan is
+    # Scan -> Project -> MapInPandas, ZERO shuffles.
+    return docs.select("doc_id", "tokens").mapInPandas(gen, FEATURES_SCHEMA)
 
 
 def _extract_split(docs: DataFrame, cfg: FeatureConfig,
@@ -201,5 +221,5 @@ def _extract_split(docs: DataFrame, cfg: FeatureConfig,
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    raw = chunks.mapInPandas(gen, FEATURES_SCHEMA)
-    return _finalize_sharpness(raw)
+    raw = chunks.mapInPandas(gen, FEATURES_SPLIT_SCHEMA)
+    return _finalize_sharpness(raw).select(OUT_COLS)

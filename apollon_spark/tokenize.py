@@ -34,7 +34,7 @@ docs AS (
 DUCKDB_FRAMES_CTE = """
 frames AS (
   SELECT doc_id,
-         generate_subscripts(tokens, 1) - 1 AS position,
+         CAST(generate_subscripts(tokens, 1) - 1 AS INT) AS position,
          unnest(tokens) AS token
   FROM docs
 )

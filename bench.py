@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "sequences_per_sec": ...}
+
+Headline workload = end-to-end feature extraction (tokenize/synthesize
+-> framed short-time analysis -> fused spectral battery) — the
+BASELINE.json metric is sequences/sec. Plus the operator suite on the
+driver-generated testdata.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local parallelism (default 32)
+  BENCH_MODE           "full" (default) | "features" (scaling runs)
+  BENCH_DOCS           synthetic doc count override
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apollon_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.1
+
+
+def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
+    """Headline: synthetic regime-Poisson docs (Zipf lengths + whales,
+    FIXTURES.md F1) through the full battery; whales go through the
+    halo-split path. Returns timings + sequences/sec."""
+    from apollon_spark.datagen import synth_docs
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    from pyspark.sql import functions as F
+
+    if n_docs is None:
+        n_docs = int(os.environ.get("BENCH_DOCS", 0)) or max(
+            256, int(4000 * sf))
+    docs = synth_docs(spark, n_docs, whales=True).cache()
+    total_docs = docs.count()          # materialize generation off the clock
+    cfg = FeatureConfig(framing=FramingParams(512, 256))
+
+    t0 = time.time()
+    # route whales (skew) through halo-split, the rest through the
+    # zero-shuffle fast path
+    whales = docs.where(F.col("n_tok") >= 65_536)
+    rest = docs.where(F.col("n_tok") < 65_536)
+    out_fast = extract_features(rest, cfg, split=False)
+    out_split = extract_features(whales, cfg, split=True, chunk_segs=512)
+    n_segs = out_fast.unionByName(out_split).count()
+    elapsed = time.time() - t0
+    docs.unpersist()
+    return {
+        "feature_extraction_sec": round(elapsed, 3),
+        "n_docs": total_docs,
+        "n_segments": n_segs,
+        "sequences_per_sec": round(total_docs / elapsed, 3),
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    names = ["docs_profile", "tumbling", "segment_meta", "seg_energy",
+             "asof_union", "asof_bucketed", "sessionize", "locf",
+             "lag_delta", "minhash", "simhash", "knn_cosine",
+             "text_profile", "tpch_q1", "topk_orders",
+             "features_battery", "features_split", "onsets"]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mode = os.environ.get("BENCH_MODE", "full")
+    sf = _sf_of(sf_dir)
+    spark = get_spark("apollon-bench", cpus=cpus)
+
+    queries: dict[str, float] = {}
+    feat = bench_features(spark, sf)
+    queries["feature_extraction"] = feat["feature_extraction_sec"]
+    if mode == "full":
+        queries.update(bench_queries(spark, sf_dir))
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "sequences_per_sec": feat["sequences_per_sec"],
+        "n_docs": feat["n_docs"],
+        "n_segments": feat["n_segments"],
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+Runs the identical feature-extraction job at local[8] and local[32]
+(fresh JVM per run via subprocess — Spark can't change master in
+process), computes eff = (thr32 / thr8) / 4, and writes
+BENCH/BASELINE.md. Pass bar: eff >= 0.8.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_at(cpus: int, n_docs: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               BENCH_MODE="features",
+               BENCH_DOCS=str(n_docs))
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env, capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("SCALING_DOCS", "8192"))
+    results = {}
+    for cpus in (8, 32):
+        t0 = time.time()
+        results[cpus] = run_at(cpus, n_docs)
+        results[cpus]["wall"] = round(time.time() - t0, 1)
+        print(f"local[{cpus}]: {results[cpus]['sequences_per_sec']} seq/s "
+              f"({results[cpus]['queries']['feature_extraction']}s compute)",
+              file=sys.stderr)
+
+    thr8 = results[8]["sequences_per_sec"]
+    thr32 = results[32]["sequences_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Protocol (BASELINE.md): identical end-to-end feature-extraction job
+(synthetic F1 docs table, {n_docs} docs, Zipf lengths incl. whales;
+framing 512/256, full spectral battery; whales via halo-split) at two
+local parallelism levels on the same input.
+
+| config | sequences/sec | compute sec | segments |
+|---|---|---|---|
+| local[8]  | {thr8} | {results[8]['queries']['feature_extraction']} | {results[8]['n_segments']} |
+| local[32] | {thr32} | {results[32]['queries']['feature_extraction']} | {results[32]['n_segments']} |
+
+**Scaling efficiency** `eff = (thr32 / thr8) / 4 = {eff:.3f}`
+(pass bar >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Dataset hash: deterministic per-doc crc32(doc_id) seeds (datagen.py) —
+both runs consume bit-identical input.
+""")
+    print(json.dumps({"thr8": thr8, "thr32": thr32, "eff": round(eff, 3),
+                      "n_docs": n_docs}))
+
+
+if __name__ == "__main__":
+    main()

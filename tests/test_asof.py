@@ -1,0 +1,102 @@
+"""As-of join: all three strategies vs a local pandas oracle."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from apollon_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    rng = np.random.default_rng(42)
+    n_l, n_r = 800, 300
+    # hot key 'k0' holds half the rows — exercises the salting path
+    keys_l = np.where(rng.random(n_l) < 0.5, "k0",
+                      np.char.add("k", rng.integers(1, 6, n_l).astype(str)))
+    keys_r = np.where(rng.random(n_r) < 0.5, "k0",
+                      np.char.add("k", rng.integers(1, 6, n_r).astype(str)))
+    lpdf = pd.DataFrame({
+        "key": keys_l,
+        "t": rng.choice(np.arange(0, 40_000), n_l, replace=False).astype("int64"),
+        "lval": rng.normal(size=n_l),
+    })
+    rpdf = pd.DataFrame({
+        "key": keys_r,
+        "rt": rng.choice(np.arange(0, 40_000), n_r, replace=False).astype("int64"),
+        "rval": rng.normal(size=n_r),
+        "rtag": rng.integers(0, 100, n_r).astype("int64"),
+    })
+    return (spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+            lpdf, rpdf)
+
+
+def _oracle(lpdf, rpdf, allow_exact=True, tolerance=None):
+    out = []
+    for key, grp in lpdf.groupby("key"):
+        r = rpdf[rpdf["key"] == key].sort_values("rt")[["rt", "rval", "rtag"]]
+        m = pd.merge_asof(grp.sort_values("t"), r, left_on="t", right_on="rt",
+                          allow_exact_matches=allow_exact,
+                          tolerance=tolerance, direction="backward")
+        out.append(m)
+    return (pd.concat(out).sort_values(["key", "t"]).reset_index(drop=True)
+            [["key", "t", "lval", "rval", "rtag"]])
+
+
+def _got(df):
+    return (df.toPandas().sort_values(["key", "t"]).reset_index(drop=True)
+            [["key", "t", "lval", "rval", "rtag"]])
+
+
+@pytest.mark.parametrize("strategy,kwargs", [
+    ("union", {}),
+    ("bucketed", {"bucket_width": 1000.0}),
+    ("pandas", {}),
+])
+def test_asof_matches_oracle(spark, tables, strategy, kwargs):
+    left, right, lpdf, rpdf = tables
+    got = _got(asof_join(left, right, on="t", right_on="rt", by="key",
+                         value_cols=["rval", "rtag"], strategy=strategy,
+                         **kwargs))
+    want = _oracle(lpdf, rpdf)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_strict_inequality(spark, tables):
+    left, right, lpdf, rpdf = tables
+    got = _got(asof_join(left, right, on="t", right_on="rt", by="key",
+                         value_cols=["rval", "rtag"], allow_exact=False))
+    want = _oracle(lpdf, rpdf, allow_exact=False)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_tolerance(spark, tables):
+    left, right, lpdf, rpdf = tables
+    got = _got(asof_join(left, right, on="t", right_on="rt", by="key",
+                         value_cols=["rval", "rtag"], tolerance=500.0))
+    want = _oracle(lpdf, rpdf, tolerance=500)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_bucketed_tolerance_and_strict(spark, tables):
+    left, right, lpdf, rpdf = tables
+    got = _got(asof_join(left, right, on="t", right_on="rt", by="key",
+                         value_cols=["rval", "rtag"], strategy="bucketed",
+                         bucket_width=512.0, allow_exact=False,
+                         tolerance=700.0))
+    want = _oracle(lpdf, rpdf, allow_exact=False, tolerance=700)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_no_match_rows_survive(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"key": ["a", "a"], "t": [1, 100], "lval": [1.0, 2.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"key": ["a"], "rt": [50], "rval": [9.0]}))
+    for strategy, kw in [("union", {}), ("bucketed", {"bucket_width": 10.0}),
+                         ("pandas", {})]:
+        got = asof_join(left, right, on="t", right_on="rt", by="key",
+                        strategy=strategy, **kw).toPandas().sort_values("t")
+        assert len(got) == 2
+        assert np.isnan(got.iloc[0]["rval"])
+        assert got.iloc[1]["rval"] == 9.0

@@ -1,0 +1,102 @@
+"""Dedup: exact, MinHash-LSH vs exact Jaccard, SimHash, n-gram pairs."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from apollon_spark.ml import dedup
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Docs with planted near-duplicates: doc i and doc i+100 share
+    ~95% of tokens for i < 10."""
+    rng = np.random.default_rng(5)
+    rows = []
+    base = {}
+    for i in range(40):
+        toks = rng.integers(0, 500, 200).astype("int32")
+        base[i] = toks
+        rows.append((f"d{i:03d}", toks.tolist()))
+    for i in range(10):
+        toks = base[i].copy()
+        idx = rng.choice(200, 8, replace=False)
+        toks[idx] = rng.integers(0, 500, 8)
+        rows.append((f"d{i + 100:03d}", toks.tolist()))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens"])
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["x y", "x y", "z", "x y"]})
+    out = dedup.exact_dedup(spark.createDataFrame(pdf), "text", "doc_id") \
+        .toPandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == ["a", "c"]
+    assert out.set_index("doc_id")["dup_count"].to_dict() == {"a": 3, "c": 1}
+
+
+def _exact_jaccard(pdf, k=3):
+    def shingles(toks):
+        M = dedup.MERSENNE
+        out = set()
+        for i in range(len(toks) - k + 1):
+            acc = 0
+            for j in range(k):
+                acc = (acc * 1_000_003 + int(toks[i + j])) % M
+            out.add(acc)
+        return out
+    sh = {r.doc_id: shingles(r.tokens) for r in pdf.itertuples()}
+    return sh
+
+
+def test_minhash_lsh_finds_planted_dups(spark, near_dup_docs):
+    pairs = dedup.minhash_dedup_pairs(
+        near_dup_docs, n_hashes=32, n_bands=8, shingle_k=3,
+        threshold=0.5).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    planted = {(f"d{i:03d}", f"d{i + 100:03d}") for i in range(10)}
+    # LSH with 8 bands of 4 at jaccard ~0.85 catches essentially all
+    assert len(planted & found) >= 9
+    # no false positives above threshold among unrelated docs
+    pdf = near_dup_docs.toPandas()
+    sh = _exact_jaccard(pdf)
+    for a, b in found:
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        assert inter / union >= 0.5
+
+
+def test_minhash_approximates_jaccard(spark, near_dup_docs):
+    """E[minhash agreement] == jaccard of shingle sets."""
+    sigs = dedup.minhash_docs(near_dup_docs, n_hashes=128).toPandas()
+    sig = {r.doc_id: np.asarray(r.signature) for r in sigs.itertuples()}
+    pdf = near_dup_docs.toPandas()
+    sh = _exact_jaccard(pdf)
+    for i in [0, 3, 7]:
+        a, b = f"d{i:03d}", f"d{i + 100:03d}"
+        est = (sig[a] == sig[b]).mean()
+        true = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        assert abs(est - true) < 0.15
+
+
+def test_simhash_near_dups(spark, near_dup_docs):
+    out = dedup.simhash_near_dups(near_dup_docs, max_hamming=6,
+                                  n_bits=32, prefix_bits=4).toPandas()
+    found = set(zip(out["id_a"], out["id_b"]))
+    planted = {(f"d{i:03d}", f"d{i + 100:03d}") for i in range(10)}
+    assert len(planted & found) >= 6   # simhash is coarser than minhash
+
+
+def test_ngram_jaccard_pairs(spark, near_dup_docs):
+    out = dedup.ngram_jaccard_pairs(
+        near_dup_docs, "doc_id", "tokens", k=3, threshold=0.5).toPandas()
+    found = set(zip(out["id_a"], out["id_b"]))
+    planted = {(f"d{i:03d}", f"d{i + 100:03d}") for i in range(10)}
+    assert planted <= found            # exact method finds all planted
+    pdf = near_dup_docs.toPandas()
+    sh = _exact_jaccard(pdf)
+    for _, r in out.iterrows():
+        true = len(sh[r.id_a] & sh[r.id_b]) / len(sh[r.id_a] | sh[r.id_b])
+        np.testing.assert_allclose(r.jaccard, true, rtol=1e-9)

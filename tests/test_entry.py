@@ -1,0 +1,69 @@
+"""Replicates the driver's correctness gate: every queries() entry with
+an oracle_sql() entry must match DuckDB row-for-row (order-insensitive,
+after the declared rounding)."""
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].apply(lambda v: tuple(v))
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    q = entrymod.queries()[name]
+    got = _canon(q(spark, sf_dir).toPandas())
+    want = _canon(ddb.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            np.testing.assert_allclose(
+                g.to_numpy(dtype="float64"), w.to_numpy(dtype="float64"),
+                rtol=0, atol=1e-9, err_msg=f"{name}:{c}", equal_nan=True)
+        else:
+            assert g.astype(str).tolist() == w.astype(str).tolist(), \
+                f"{name}:{c} differs"
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name, fn in qs.items():
+        if name in oracles:
+            continue
+        n = fn(spark, sf_dir).count()
+        assert n >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,117 @@
+"""Scalar kernels + nonlinear battery: acf parity, butterworth
+response, pca, scalar column functions."""
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from apollon_spark.functions import kernels, scalars
+from apollon_spark.nonlinear import bandpass_docs, extract_nonlinear
+
+
+def test_acf_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=256)
+    got = kernels.acf(sig)
+    # reference loop (signal/tools.py:32-54)
+    norm = sig @ sig
+    want = np.empty(sig.size)
+    want[0] = 1
+    for lag in range(1, sig.size):
+        prod = sig[:-lag] @ sig[lag:]
+        want[lag] = prod / norm if prod != 0 else 0
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_corr_coef_pearson_quirk_preserved():
+    rng = np.random.default_rng(1)
+    x, y = rng.normal(size=64), rng.normal(size=64)
+    got = kernels.corr_coef_pearson(x, y)
+    xd, yd = x - x.mean(), y - y.mean()
+    want = (xd @ yd) / ((xd @ xd) * (yd @ yd))   # no sqrt: ref quirk
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_butterworth_bandpass_response():
+    fps = 8000
+    b, a = kernels.butter_bandpass_coef(400, 1200, fps, order=4)
+    t = np.arange(4096) / fps
+    inband = np.sin(2 * np.pi * 800 * t)
+    outband = np.sin(2 * np.pi * 100 * t) + np.sin(2 * np.pi * 3000 * t)
+    y_in = kernels.lfilter(b, a, inband)
+    y_out = kernels.lfilter(b, a, outband)
+    # steady-state gains (skip transient)
+    g_in = np.abs(y_in[1000:]).max()
+    g_out = np.abs(y_out[1000:]).max()
+    assert g_in > 0.9
+    assert g_out < 0.15
+
+
+def test_pca_reconstruction():
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(200, 2)) @ rng.normal(size=(2, 5))
+    vals, vects, proj = kernels.pca(base, 2)
+    assert vals[0] >= vals[1]
+    recon = proj @ vects + base.mean(axis=0)
+    np.testing.assert_allclose(recon, base, atol=1e-8)
+
+
+def test_lorenz_and_log_edges():
+    traj = kernels.lorenz_attractor(500)
+    assert traj.shape == (500, 3)
+    assert np.isfinite(traj).all()
+    d = np.abs(np.diff(traj[:, 0]))
+    edges = kernels.log_histogram_bin_edges(d, 10)
+    assert len(edges) == 11
+    assert np.all(np.diff(edges) > 0)
+
+
+def test_scalar_columns(spark):
+    pdf = pd.DataFrame({"f": [440.0, 1000.0], "x": [[1.0, -3.0, 2.0]] * 2})
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        scalars.freq2mel(F.col("f")).alias("mel"),
+        scalars.frq2cbr(F.col("f")).alias("bark"),
+        scalars.c_weighting(F.col("f")).alias("cw"),
+        scalars.maxamp(F.col("x")).alias("mx"),
+        scalars.l1_norm(F.col("x")).alias("l1"),
+        scalars.rms_arr(F.col("x")).alias("rms"),
+        scalars.normalize_arr(F.col("x")).alias("norm"),
+    ).toPandas()
+    np.testing.assert_allclose(
+        out["mel"][0], 1125 * np.log(1 + 440 / 700), rtol=1e-9)
+    np.testing.assert_allclose(
+        out["bark"][0], kernels.frq2cbr(np.array([440.0]))[0], rtol=1e-9)
+    np.testing.assert_allclose(
+        out["cw"][0], kernels.c_weighting(np.array([440.0]))[0], rtol=1e-9)
+    assert out["mx"][0] == 3.0 and out["l1"][0] == 6.0
+    np.testing.assert_allclose(out["rms"][0], np.sqrt(14 / 3), rtol=1e-9)
+    np.testing.assert_allclose(list(out["norm"][0]), [1 / 3, -1.0, 2 / 3])
+    # mel roundtrip
+    rt = df.select(scalars.mel2freq(scalars.freq2mel(F.col("f"))).alias("f2")) \
+        .toPandas()
+    np.testing.assert_allclose(rt["f2"], pdf["f"], rtol=1e-9)
+
+
+def test_nonlinear_battery_spark(spark):
+    from apollon_spark.datagen import synth_docs
+    docs = synth_docs(spark, 3, whales=False)
+    out = extract_nonlinear(docs).toPandas()
+    assert len(out) == 3
+    assert np.isfinite(out["cdim"]).all()       # docs are >= 2000 tokens
+    assert np.isfinite(out["correlogram"]).all()
+    assert (out["acf_lag1"] <= 1.0 + 1e-9).all()
+
+
+def test_bandpass_docs_spark(spark):
+    import pandas as pd
+    fps = 8000
+    t = np.arange(4096) / fps
+    sig = (np.sin(2 * np.pi * 800 * t) * 100 + 500).astype("int32")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a"], "tokens": [sig.tolist()],
+        "n_tok": [len(sig)], "source": ["s"]}))
+    out = bandpass_docs(docs, fps, 400, 1200).toPandas()
+    filt = np.asarray(out["filtered"][0])
+    # DC offset (0 Hz) removed, 800 Hz carrier passes
+    assert abs(filt[2000:].mean()) < 2.0
+    assert np.abs(filt[2000:]).max() > 80.0

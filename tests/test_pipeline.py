@@ -1,0 +1,41 @@
+"""Checkpointed feature job: lineage records + idempotent resume."""
+import os
+
+import numpy as np
+
+from apollon_spark.datagen import synth_docs
+from apollon_spark.operators.framing import FramingParams
+from apollon_spark.pipeline import read_lineage, run_feature_job
+from apollon_spark.spectral import FeatureConfig
+
+
+def test_run_and_resume(spark, tmp_path):
+    out = str(tmp_path / "job")
+    docs = synth_docs(spark, 8, whales=False)
+    cfg = FeatureConfig(framing=FramingParams(128, 64))
+
+    s1 = run_feature_job(spark, docs, out, cfg, n_buckets=4)
+    assert s1["buckets_done"] == 4 and s1["buckets_skipped"] == 0
+    lineage = read_lineage(out)
+    assert len(lineage) == 4
+    assert sum(r["rows_in"] for r in lineage) == 8
+    assert all(r["wall_sec"] > 0 for r in lineage)
+    assert all(r["params_hash"] == s1["params_hash"] for r in lineage)
+
+    feats = spark.read.parquet(os.path.join(out, "features"))
+    n_rows = feats.count()
+    assert n_rows == s1["rows_out"] > 0
+
+    # resume: everything skips, output unchanged
+    s2 = run_feature_job(spark, docs, out, cfg, n_buckets=4)
+    assert s2["buckets_done"] == 0 and s2["buckets_skipped"] == 4
+    assert spark.read.parquet(os.path.join(out, "features")).count() == n_rows
+
+    # partial failure: drop one marker -> exactly one bucket reruns,
+    # same checksum as before (idempotent)
+    before = {r["bucket"]: r["checksum"] for r in lineage}
+    os.remove(os.path.join(out, "_done", "bucket=2"))
+    s3 = run_feature_job(spark, docs, out, cfg, n_buckets=4)
+    assert s3["buckets_done"] == 1 and s3["buckets_skipped"] == 3
+    after = {r["bucket"]: r["checksum"] for r in read_lineage(out)}
+    assert after == before
