@@ -289,6 +289,92 @@ def _q_window_count_events(spark, sf_dir):
              F.round(F.sum("value"), 4).alias("val_sum")))
 
 
+def _q_backfill_clip(spark, sf_dir):
+    from apollon_spark.operators.backfill import fill_edges_clip
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .alias("cv"))
+    filled = fill_edges_clip(ev, ["cv"], on="t_us", by="user_id")
+    return filled.select("user_id", "event_id",
+                         F.round("cv", 6).alias("cv"))
+
+
+def _q_rolling_stats(spark, sf_dir):
+    from apollon_spark.operators.backfill import rolling_stats
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value")
+    out = rolling_stats(ev, "value", on="t_us", before=3, after=2,
+                        by="user_id")
+    return out.select(
+        "user_id", "event_id",
+        F.round("value_win_mean", 6).alias("w_mean"),
+        F.round("value_win_min", 6).alias("w_min"),
+        F.round("value_win_max", 6).alias("w_max"),
+        F.round("value_win_sum", 6).alias("w_sum"))
+
+
+def _q_standardize(spark, sf_dir):
+    from apollon_spark.operators.backfill import standardize
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    out = standardize(ev, ["value"], by="user_id")
+    return out.select("user_id", "event_id",
+                      F.round("value_z", 6).alias("z"))
+
+
+def _q_smooth_stat(spark, sf_dir):
+    from apollon_spark.operators.backfill import smooth_stat
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    out = smooth_stat(ev, "value", by="user_id")
+    return out.select("user_id", "event_id",
+                      F.round("value_smooth", 6).alias("smoothed"))
+
+
+def _q_delay_embed(spark, sf_dir):
+    from apollon_spark.operators.backfill import delay_embed_cols
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value")
+    out = delay_embed_cols(ev, "value", on="t_us", delay=3, m_dim=3,
+                           by="user_id")
+    return out.select("user_id", "event_id",
+                      F.round("value", 6).alias("v0"),
+                      F.round("value_d1", 6).alias("v1"),
+                      F.round("value_d2", 6).alias("v2"))
+
+
+def _q_join_revenue(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (orders.join(customer,
+                        orders["o_custkey"] == customer["c_custkey"])
+            .join(F.broadcast(nation),
+                  customer["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.sum(dec).alias("rev"), F.count("*").alias("n_orders"))
+            .select("n_name", F.col("rev").cast("double").alias("revenue"),
+                    "n_orders"))
+
+
+def _q_onset_gather(spark, sf_dir):
+    from apollon_spark.onsets import by_onsets_gather
+    docs = _docs(spark, sf_dir)
+    ons = docs.select(
+        "doc_id",
+        F.explode(F.array(
+            F.expr("cast(n_tok div 4 as int)"),
+            F.expr("cast(n_tok div 2 as int)"),
+            (F.col("n_tok") - 3).cast("int"))).alias("frame"))
+    gathered = by_onsets_gather(docs, ons, n_perseg=8)
+    wsum = F.aggregate("window", F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
+    return gathered.select("doc_id", "frame", wsum.alias("wsum"))
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-verified) ---------------
 
 def _q_features_battery(spark, sf_dir):
@@ -349,6 +435,31 @@ def _q_media_features(spark, sf_dir):
     return extract_media_features(media, dim=8)
 
 
+def _q_nonlinear(spark, sf_dir):
+    from apollon_spark.nonlinear import extract_nonlinear
+    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 64)
+    return extract_nonlinear(docs, corr_wlen=10, corr_delay=5)
+
+
+def _q_ivf_ann(spark, sf_dir):
+    import numpy as np
+    from apollon_spark.ml.simsearch import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id") \
+        .select("vec_id", "embedding").collect()
+    queries = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    return ivf_topk(emb, queries, q_ids, k=5, n_centroids=8, n_probe=3)
+
+
+def _q_similarity_position(spark, sf_dir):
+    from apollon_spark.similarity import fit_similarity_map
+    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 30).limit(64)
+    positions, _, _ = fit_similarity_map(
+        docs, m_states=2, som_rows=3, som_cols=3, n_iter=3, max_obs=None)
+    return positions
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "docs_profile": _q_docs_profile,
@@ -373,6 +484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "topk_orders": _q_topk_orders,
         "window_count_events": _q_window_count_events,
+        "backfill_clip": _q_backfill_clip,
+        "rolling_stats": _q_rolling_stats,
+        "standardize": _q_standardize,
+        "smooth_stat": _q_smooth_stat,
+        "delay_embed": _q_delay_embed,
+        "join_revenue": _q_join_revenue,
+        "onset_gather": _q_onset_gather,
         # rows-only (non-SQL-expressible; pytest parity instead)
         "features_battery": _q_features_battery,
         "features_split": _q_features_split,
@@ -381,6 +499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "som_bmu": _q_som_bmu,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
+        "nonlinear": _q_nonlinear,
+        "ivf_ann": _q_ivf_ann,
+        "similarity_position": _q_similarity_position,
     }
 
 
@@ -707,5 +828,97 @@ FROM ranked WHERE rank <= 3
 SELECT event_type, epoch_us(ts) // 300000000 AS win_id,
        count(*) AS n, round(sum(value), 4) AS val_sum
 FROM events GROUP BY event_type, epoch_us(ts) // 300000000
+""",
+        "backfill_clip": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type = 'click' THEN value END AS cv
+  FROM events
+),
+fwd AS (
+  SELECT user_id, event_id, t_us,
+         last_value(cv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+  FROM e
+)
+SELECT user_id, event_id,
+       round(last_value(cv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY t_us DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cv
+FROM fwd
+""",
+        "rolling_stats": """
+SELECT user_id, event_id,
+       round(avg(value) OVER w, 6) AS w_mean,
+       round(min(value) OVER w, 6) AS w_min,
+       round(max(value) OVER w, 6) AS w_max,
+       round(sum(value) OVER w, 6) AS w_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
+""",
+        "standardize": """
+WITH s AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+  FROM events
+)
+SELECT user_id, event_id,
+       round(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 6) AS z
+FROM s
+""",
+        "smooth_stat": """
+WITH s AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+  FROM events
+)
+SELECT user_id, event_id,
+       round(CASE WHEN value >= mu - sd AND value <= mu + sd
+                  THEN mu ELSE value END, 6) AS smoothed
+FROM s
+""",
+        "delay_embed": """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         lead(value, 3) OVER w AS v1,
+         lead(value, 6) OVER w AS v2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+)
+SELECT user_id, event_id, round(value, 6) AS v0,
+       round(v1, 6) AS v1, round(v2, 6) AS v2
+FROM e WHERE v2 IS NOT NULL
+""",
+        "join_revenue": """
+SELECT n.n_name,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+        "onset_gather": f"""
+{_W},
+ons AS (
+  SELECT doc_id, tokens, n_tok,
+         unnest([n_tok // 4, n_tok // 2, n_tok - 3]) AS frame
+  FROM docs
+),
+clipped AS (
+  SELECT doc_id, frame,
+         greatest(0, least(frame, n_tok - 1)) AS pos, tokens, n_tok
+  FROM ons
+)
+SELECT doc_id, CAST(frame AS INT) AS frame,
+       CAST(coalesce(list_sum(list_transform(
+         tokens[pos + 1 : least(pos + 8, n_tok)],
+         x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS wsum
+FROM clipped
 """,
     }

@@ -438,43 +438,87 @@ def correlogram(sig: np.ndarray, wlen: int, n_delay: int,
     return out
 
 
+def fti16(sig: np.ndarray) -> np.ndarray:
+    """float -> int16 (audio.py:141-150): clip(floor(x*2^15))."""
+    return np.clip(np.floor(np.asarray(sig, "float64") * 2 ** 15),
+                   -2 ** 15, 2 ** 15 - 1).astype("int16")
+
+
 def cdim_bader(sig: np.ndarray, delay: int = 14, m_dim: int = 80,
                n_bins: int = 1000, scaling_size: int = 10) -> float:
-    """Correlation dimension, Bader variant (features.py:24-73; C kernel
-    signal/cdim.c:167-283). Deliberately preserves the C kernel's quirks:
-    fixed n=2400 samples, distance bound 10 after int16-range normalization,
-    log-log slope over the first ``scaling_size`` cumulative bins.
+    """Correlation dimension, Bader variant — exact behavioral port of
+    the C kernel (signal/cdim.c:167-283), vectorized. The kernel's
+    quirks are load-bearing and preserved (comments at
+    cdim.c:163-167,192-202 call them out):
+
+    - traverses pairs (i, i+j) for i in [0, 2390), j in [0, 2390-i) —
+      i.e. the upper triangle INCLUDING the zero diagonal;
+    - embedding vectors index up to (2390-1) + (m_dim-1)*delay, so the
+      input must be LONGER than 2400 samples for default params;
+    - fixed ``dist_min = 1.0``; bin index ``floor((floor(d)-1)/step)``
+      with ``step = max(int(dist_max/1000), 1)``;
+    - slope taken between the histogram's argmax bin (over the first
+      3/5 of bins) and argmax+scaling_size on the log-log curve.
+
+    Input is expected int16-scaled (the reference wrapper applies
+    ``fti16`` first, features.py:60-62); pass raw ints and they are
+    used as-is like the C kernel would.
     """
-    n_fixed = 2400                      # cdim.c:177
-    bound = 10.0                        # cdim.c:172
-    sig = np.asarray(sig, dtype="float64").ravel()[:n_fixed]
-    if sig.size < n_fixed:
-        raise ValueError(f"cdim needs >= {n_fixed} samples, got {sig.size}")
-    # int16-style scaling as in audio.fti16 (audio.py:141-150)
-    mx = np.abs(sig).max()
-    if mx > 0:
-        sig = sig / mx * 32767.0
-    emb = delay_embedding(sig, delay, m_dim)
-    # pairwise distances, normalized by embedding dim (cdim.c:192-202)
+    bound, n_samples = 10, 2400          # cdim.c:172,177
+    x = np.asarray(sig, dtype="float64").ravel()
+    n = n_samples - bound
+    need = (n - 1) + (m_dim - 1) * delay + 1
+    if x.size < need:
+        raise ValueError(
+            f"cdim_bader needs >= {need} samples for delay={delay}, "
+            f"m_dim={m_dim}; got {x.size}")
+    s = x.strides[0]
+    emb = np.lib.stride_tricks.as_strided(
+        x, shape=(n, m_dim), strides=(s, delay * s), writeable=False)
+    emb = np.ascontiguousarray(emb)
     sq = np.einsum("ij,ij->i", emb, emb)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (emb @ emb.T)
-    iu = np.triu_indices(emb.shape[0], k=1)
-    dists = np.sqrt(np.maximum(d2[iu], 0.0)) / m_dim
-    dists = dists[dists < bound]
-    if dists.size == 0:
-        return 0.0
-    radii = np.linspace(dists.min() if dists.min() > 0 else 1e-12,
-                        bound, n_bins)
-    counts, _ = np.histogram(dists, bins=radii)
-    corr_sum = np.cumsum(counts).astype("float64")
-    corr_sum /= corr_sum[-1] if corr_sum[-1] > 0 else 1.0
-    valid = corr_sum[:scaling_size] > 0
-    if valid.sum() < 2:
-        return 0.0
-    x = np.log(radii[1:scaling_size + 1][valid])
-    y = np.log(corr_sum[:scaling_size][valid])
-    slope = np.polyfit(x, y, 1)[0]
-    return float(slope)
+    iu = np.triu_indices(n, k=0)         # diagonal included (cdim.c:203-219)
+    dists = np.sqrt(np.maximum(d2[iu], 0.0))
+    n_dists = n * (n + 1) // 2
+
+    dist_min = 1.0                       # cdim.c:181 (never updated)
+    dist_max = dists.max()
+    step = int(dist_max / 1000.0)
+    step = 1 if step == 0 else step      # cdim.c:222-223
+
+    hist = np.zeros(n_bins, dtype="int64")
+    low = dists < dist_min
+    hist[0] = int(low.sum())
+    rest = dists[~low]
+    idx = np.floor((np.floor(rest) - dist_min) / step).astype("int64")
+    idx = idx[idx + 2 < n_bins]          # cdim.c:232-236
+    if idx.size:
+        hist += np.bincount(idx + 1, minlength=n_bins)
+    corr_sums = np.cumsum(hist)
+
+    lim = int(n_bins * 3.0 / 5.0)        # cdim.c:256-265
+    max_bin = int(np.argmax(hist[:lim]))
+    with np.errstate(divide="ignore"):
+        x1 = np.log(max_bin * step + dist_min)
+        x2 = np.log((max_bin + scaling_size) * step + dist_min)
+        y1 = np.log(corr_sums[max_bin] / n_dists)
+        y2 = np.log(corr_sums[max_bin + scaling_size] / n_dists)
+    return float((y2 - y1) / (x2 - x1))
+
+
+def cdim(inp_segs: np.ndarray, delay: int, m_dim: int, n_bins: int = 1000,
+         scaling_size: int = 10) -> np.ndarray:
+    """Per-segment correlation dimension (features.py:24-73 wrapper):
+    fti16-quantize floats, run the Bader kernel per row, nan_to_num."""
+    segs = np.atleast_2d(inp_segs)
+    if segs.dtype != np.int16:
+        segs = fti16(segs)
+    out = np.zeros(segs.shape[0])
+    for i in range(segs.shape[0]):
+        out[i] = np.nan_to_num(cdim_bader(
+            segs[i].astype("float64"), delay, m_dim, n_bins, scaling_size))
+    return out
 
 
 def acf(sig: np.ndarray) -> np.ndarray:
@@ -601,3 +645,79 @@ def pca(data: np.ndarray, n_comps: int = 2):
     idx = np.flip(vals.argsort())[:n_comps]
     vals, vects = vals[idx], vects[idx]
     return vals, vects, centered @ vects.T
+
+
+def by_samples(sig: np.ndarray, n_perseg: int, hop_size: int = 0) -> np.ndarray:
+    """Non-overlapping (or hopped) framing with zero-pad to fit
+    (segment.py:327-417). hop_size < 1 means hop = n_perseg.
+    Preserves the reference's segment-count rule: an extra partial
+    segment is emitted only when n_perseg > hop_size and the tail
+    doesn't align (segment.py:379-382)."""
+    sig = np.asarray(sig, "float64").ravel()
+    if n_perseg < 1:
+        raise ValueError("n_perseg must be >= 1")
+    if hop_size < 1:
+        fit = int(np.ceil(sig.size / n_perseg) * n_perseg)
+        padded = np.pad(sig, (0, fit - sig.size))
+        return padded.reshape(-1, n_perseg)
+    if not 1 < n_perseg <= sig.size:
+        raise ValueError("need 1 < n_perseg <= len(sig)")
+    n_hops = (sig.size - n_perseg) // hop_size + 1
+    n_segs = n_hops
+    if (sig.size - n_perseg) % hop_size != 0 and n_perseg > hop_size:
+        n_segs += 1
+    fit = hop_size * n_hops + n_perseg
+    padded = np.pad(sig, (0, fit - sig.size))
+    out = np.empty((n_segs, n_perseg))
+    for i in range(n_segs):
+        out[i] = padded[i * hop_size:i * hop_size + n_perseg]
+    return out
+
+
+def by_ms(sig: np.ndarray, fps: int, ms_perseg: int,
+          hop_size_ms: int = 0) -> np.ndarray:
+    """ms -> samples then by_samples (segment.py:420-442)."""
+    return by_samples(sig, fps * ms_perseg // 1000,
+                      fps * hop_size_ms // 1000)
+
+
+def frms(mag_or_bins: np.ndarray, n_sig: int,
+         window: str | None = None) -> np.ndarray:
+    """RMS estimated from DFT bins (features.py:136-155). Input is the
+    NORMALIZED one-sided spectrum (the reference feeds it its own
+    ``fft(norm=True)`` output), rows = segments."""
+    vals = np.abs(mag_or_bins).astype("float64") * n_sig
+    if n_sig % 2:
+        vals = vals / 2.0
+    else:
+        vals = vals.copy()
+        vals[:, :-1] /= 2.0
+    rms_ = np.sqrt(2.0 * np.sum(np.square(vals), axis=1)) / n_sig
+    if window:
+        wvec = get_window(window, n_sig, periodic=False)
+        rms_ = rms_ / math.sqrt(float(np.mean(np.square(wvec))))
+    return rms_
+
+
+def rfft_full(segs: np.ndarray, window: str | None = None,
+              n_fft: int | None = None, norm: bool = True) -> np.ndarray:
+    """Complex one-sided DFT (spectral.py:27-63) — for phase/power
+    consumers; rfft_mag is the magnitude shortcut."""
+    n_sig = segs.shape[1]
+    if n_fft is None:
+        n_fft = n_sig
+    win = get_window(window, n_sig)
+    bins = np.fft.rfft(segs * win, n_fft, axis=1)
+    if norm:
+        bins = bins / math.sqrt(win.sum() ** 2) * 2
+    return bins
+
+
+def embedding_dists(sig: np.ndarray, delay: int, m_dim: int) -> np.ndarray:
+    """Flattened upper triangle of pairwise euclidean distances of the
+    delay embedding (fractal.py:64-82), vectorized (no scipy pdist)."""
+    emb = np.ascontiguousarray(delay_embedding(sig, delay, m_dim))
+    sq = np.einsum("ij,ij->i", emb, emb)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (emb @ emb.T)
+    iu = np.triu_indices(emb.shape[0], k=1)
+    return np.sqrt(np.maximum(d2[iu], 0.0))

@@ -45,8 +45,9 @@ def spl_from_rms(rms: Column, ref: float = SPL_REF) -> Column:
 
 
 def fti16(x: Column) -> Column:
-    """float -> int16 quantization with clipping (audio.py:141-150)."""
-    scaled = F.round(x * 32767.0)
+    """float -> int16 quantization with clipping (audio.py:141-150:
+    ``clip(floor(x * 2^15), -2^15, 2^15 - 1)``)."""
+    scaled = F.floor(x * 32768.0)
     return F.least(F.greatest(scaled, F.lit(-32768.0)),
                    F.lit(32767.0)).cast("short")
 

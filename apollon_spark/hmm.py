@@ -253,3 +253,52 @@ def fit_hmm_docs(docs: DataFrame, m_states: int = 3,
                 "aic", "bic", "n_iter", "success"])
 
     return docs.select("doc_id", "tokens").mapInPandas(gen, HMM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Reparametrization utilities (hmm/utilities.py:361-478)
+# ---------------------------------------------------------------------------
+
+def get_off_diag(mat: np.ndarray) -> np.ndarray:
+    """Off-diagonal elements, row-major (hmm/utilities.py:383-400)."""
+    if mat.shape[0] != mat.shape[1]:
+        raise ValueError("matrix is not square")
+    mask = ~np.eye(mat.shape[0], dtype=bool)
+    return mat[mask]
+
+
+def set_off_diag(mat: np.ndarray, vals: np.ndarray) -> None:
+    """In-place off-diagonal fill (hmm/utilities.py:403-424)."""
+    if mat.shape[0] != mat.shape[1]:
+        raise ValueError("matrix is not square")
+    if vals.size != mat.shape[0] * (mat.shape[0] - 1):
+        raise ValueError("size mismatch")
+    mask = ~np.eye(mat.shape[0], dtype=bool)
+    mat[mask] = vals
+
+
+def logit_tpm(tpm: np.ndarray) -> np.ndarray:
+    """tpm -> unconstrained logit space (hmm/utilities.py:427-443):
+    log(tpm / diag), off-diagonals only."""
+    logits = np.log(tpm / tpm.diagonal()[:, None])
+    return get_off_diag(logits)
+
+
+def expit_tpm(lg_tpm: np.ndarray, m: int) -> np.ndarray:
+    """Inverse of logit_tpm: rebuild a row-stochastic tpm. NB the
+    reference's expit_gamma (hmm/utilities.py:446-466) applies
+    ``np.log`` where ``exp`` is meant — we implement the documented
+    intent (exp) and note the divergence."""
+    tpm = np.eye(m)
+    set_off_diag(tpm, np.exp(lg_tpm))
+    return tpm / tpm.sum(axis=1, keepdims=True)
+
+
+def sort_param(m_key: np.ndarray, m_param: np.ndarray) -> np.ndarray:
+    """Reorder params by ascending key (hmm/utilities.py:448-478)."""
+    order = np.argsort(m_key)
+    if m_param.ndim == 1:
+        return m_param[order]
+    if m_param.ndim == 2:
+        return m_param[np.ix_(order, order)]
+    raise ValueError("m_param must be 1- or 2-dimensional")

@@ -27,13 +27,18 @@ def extract_nonlinear(docs: DataFrame, corr_wlen: int = 50,
     Bader cdim (if >= 2400 samples), total correlogram, acf stats."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cdim_need = (2400 - 10 - 1) + 79 * 14 + 1   # default delay/m_dim
         for pdf in batches:
             rows = []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
                 sig = np.asarray(tokens, dtype="float64")[:max_samples]
                 cdim = np.nan
-                if sig.size >= 2400:
-                    cdim = kernels.cdim_bader(sig)
+                if sig.size >= cdim_need:
+                    # tokens -> [-1, 1] (signal/tools.py:198-207) then the
+                    # reference's fti16 + Bader kernel (features.py:24-73)
+                    mx = np.abs(sig).max()
+                    unit = sig / mx if mx > 0 else sig
+                    cdim = float(kernels.cdim(unit[None, :], 14, 80)[0])
                 corr = np.nan
                 if sig.size > corr_wlen + corr_delay:
                     corr = float(kernels.correlogram(

@@ -164,3 +164,36 @@ def log_attack_time(docs: DataFrame, onsets: DataFrame, fps: int = 9000,
 
     return gathered.mapInPandas(
         gen, "doc_id string, onset_idx int, frame long, log_attack_time double")
+
+
+# ---------------------------------------------------------------------------
+# Onset evaluation (onsets.py:265-287 — the reference's version is
+# broken: its `_me` mir_eval alias is never imported; we implement the
+# documented intent natively)
+# ---------------------------------------------------------------------------
+
+def evaluate_onsets(detected: DataFrame, truth: DataFrame,
+                    tolerance: int = 512) -> DataFrame:
+    """Per-doc precision/recall/F1 of detected onsets vs ground truth.
+
+    ``detected``: (doc_id, frame); ``truth``: (doc_id, frame). A truth
+    onset counts as hit when a detection lies within ``tolerance``
+    positions. One broadcast-joinable agg — no pairwise blowup beyond
+    the per-doc onset lists (both tiny)."""
+    det = detected.groupBy("doc_id").agg(
+        F.collect_list("frame").alias("det"))
+    tru = truth.groupBy("doc_id").agg(
+        F.collect_list("frame").alias("tru"))
+    j = tru.join(det, "doc_id", "left")
+    hits = F.size(F.filter(
+        "tru", lambda t: F.exists(
+            "det", lambda d: F.abs(d - t) <= tolerance)))
+    n_det = F.coalesce(F.size("det"), F.lit(0))
+    n_tru = F.size("tru")
+    prec = F.when(n_det > 0, hits / n_det).otherwise(F.lit(0.0))
+    rec = F.when(n_tru > 0, hits / n_tru).otherwise(F.lit(0.0))
+    f1 = F.when((prec + rec) > 0,
+                2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return j.select("doc_id", n_tru.alias("n_truth"), n_det.alias("n_det"),
+                    hits.alias("hits"), prec.alias("precision"),
+                    rec.alias("recall"), f1.alias("f1"))

@@ -49,11 +49,20 @@ class SomGrid:
         return np.stack([rr.ravel(), cc.ravel()], axis=1).astype("float64")
 
 
-def grid_dists(grid: SomGrid) -> np.ndarray:
-    """(n_units, n_units) Euclidean lattice distances."""
+def grid_dists(grid: SomGrid, metric: str = "euclidean") -> np.ndarray:
+    """(n_units, n_units) lattice distances. The reference's kernels
+    measure the grid with different metrics (som/neighbors.py:24-104):
+    gaussian/mexican use euclidean, 'star' uses cityblock, 'rect' uses
+    chebyshev."""
     pos = grid.positions
     diff = pos[:, None, :] - pos[None, :, :]
-    return np.sqrt((diff ** 2).sum(-1))
+    if metric == "euclidean":
+        return np.sqrt((diff ** 2).sum(-1))
+    if metric == "cityblock":
+        return np.abs(diff).sum(-1)
+    if metric == "chebyshev":
+        return np.abs(diff).max(-1)
+    raise ValueError(metric)
 
 
 def gauss_kernel(dists: np.ndarray, radius: float) -> np.ndarray:
@@ -67,12 +76,22 @@ def mexican_kernel(dists: np.ndarray, radius: float) -> np.ndarray:
     return (1.0 - a) * np.exp(-a / 2.0)
 
 
+def star_kernel(dists_cityblock: np.ndarray, radius: float) -> np.ndarray:
+    """Von-Neumann-star neighborhood: cityblock distance <= r."""
+    return (dists_cityblock <= radius).astype("float64")
+
+
 def rect_kernel(dists_cheb: np.ndarray, radius: float) -> np.ndarray:
+    """Rectangular neighborhood: chebyshev distance <= r."""
     return (dists_cheb <= radius).astype("float64")
 
 
 KERNELS = {"gaussian": gauss_kernel, "mexican": mexican_kernel,
-           "rect": rect_kernel}
+           "star": star_kernel, "rect": rect_kernel}
+
+# which lattice metric each kernel measures (som/neighbors.py:24-104)
+KERNEL_GRID_METRIC = {"gaussian": "euclidean", "mexican": "euclidean",
+                      "star": "cityblock", "rect": "chebyshev"}
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +220,7 @@ def fit_batch_som(vectors: DataFrame, vec_col: str, p: SomParams,
         raise ValueError("empty input")
     d = len(first[0])
     grid = SomGrid(p.n_rows, p.n_cols)
-    gd = grid_dists(grid)
+    gd = grid_dists(grid, KERNEL_GRID_METRIC[p.kernel])
     sample = np.array(
         [r[0] for r in vectors.select(vec_col).limit(sample_init).collect()])
     weights = init_weights(p.init, (p.n_rows, p.n_cols, d), sample, p.seed)
@@ -311,7 +330,7 @@ def incremental_fit(data: np.ndarray, p: SomParams) -> tuple[np.ndarray, list[fl
     linear -> 0, radius expo -> 1, permuted row order, seeded."""
     np.random.seed(p.seed)        # som/som.py:327 uses the legacy API
     grid = SomGrid(p.n_rows, p.n_cols)
-    gd = grid_dists(grid)
+    gd = grid_dists(grid, KERNEL_GRID_METRIC[p.kernel])
     d = data.shape[1]
     weights = init_weights(p.init, (p.n_rows, p.n_cols, d), data, p.seed)
     kern = KERNELS[p.kernel]

@@ -1,0 +1,118 @@
+"""Coverage for the long tail of SURVEY §2: by_samples, frms, whole-doc
+DFT parts, embedding_dists, HMM reparametrization, SOM kernels,
+evaluate_onsets."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from apollon_spark import hmm, som
+from apollon_spark.functions import kernels
+from tests.oracle import reference_math as ref
+
+
+def test_by_samples_no_hop():
+    sig = np.arange(10.0)
+    segs = kernels.by_samples(sig, 4)
+    assert segs.shape == (3, 4)
+    np.testing.assert_array_equal(segs[2], [8, 9, 0, 0])  # zero-pad to fit
+
+
+def test_by_samples_with_hop():
+    sig = np.arange(10.0)
+    segs = kernels.by_samples(sig, 4, hop_size=3)
+    # n_hops = (10-4)//3+1 = 3; remainder -> extra partial segment
+    assert segs.shape[1] == 4
+    np.testing.assert_array_equal(segs[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(segs[1], [3, 4, 5, 6])
+    # by_ms is the ms->samples wrapper
+    assert kernels.by_ms(sig, 1000, 4).shape == (3, 4)
+
+
+def test_frms_estimates_time_rms():
+    """frms from UN-normalized rfft bins approximates the time-domain
+    rms (features.py:136-155 semantics, rect window)."""
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=1024)
+    sig -= sig.mean()
+    bins = kernels.rfft_full(sig[None, :], window=None, norm=True)
+    got = kernels.frms(bins, 1024)
+    want = np.sqrt(np.mean(sig ** 2))
+    np.testing.assert_allclose(got[0], want, rtol=0.01)
+
+
+def test_rfft_full_phase_in_range():
+    sig = np.random.default_rng(1).normal(size=(4, 256))
+    bins = kernels.rfft_full(sig, "hamming")
+    phase = np.angle(bins)
+    assert (phase >= -np.pi).all() and (phase <= np.pi).all()
+    power = np.square(np.abs(bins))
+    assert (power >= 0).all()
+    np.testing.assert_allclose(
+        np.abs(bins), kernels.rfft_mag(sig, "hamming"), rtol=1e-12)
+
+
+def test_embedding_dists_matches_pdist_loop():
+    sig = np.random.default_rng(2).normal(size=64)
+    got = kernels.embedding_dists(sig, 3, 4)
+    emb = ref.delay_embedding(sig, 3, 4)
+    n = emb.shape[0]
+    want = np.array([np.linalg.norm(emb[i] - emb[j])
+                     for i in range(n) for j in range(i + 1, n)])
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_hmm_logit_expit_roundtrip():
+    g = hmm.init_gamma(3, "uniform", 0.8)
+    lg = hmm.logit_tpm(g)
+    assert lg.size == 6
+    back = hmm.expit_tpm(lg, 3)
+    np.testing.assert_allclose(back, g, atol=1e-12)
+    key = np.array([3.0, 1.0, 2.0])
+    np.testing.assert_array_equal(hmm.sort_param(key, key), [1, 2, 3])
+    mat = np.arange(9.0).reshape(3, 3)
+    sorted_mat = hmm.sort_param(key, mat)
+    assert sorted_mat[0, 0] == mat[1, 1]   # smallest key's diagonal
+
+
+def test_som_star_rect_kernels():
+    grid = som.SomGrid(3, 3)
+    d_city = som.grid_dists(grid, "cityblock")
+    d_cheb = som.grid_dists(grid, "chebyshev")
+    star = som.star_kernel(d_city, 1.0)
+    rect = som.rect_kernel(d_cheb, 1.0)
+    center = 4  # (1,1)
+    assert star[center].sum() == 5         # von neumann: self + 4
+    assert rect[center].sum() == 9         # moore: 3x3 block
+
+
+def test_dft_docs_parseval(spark):
+    from apollon_spark.spectral import FeatureConfig, dft_docs
+    rng = np.random.default_rng(3)
+    sig = rng.integers(0, 100, 512).astype("int32")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a"], "tokens": [sig.tolist()],
+        "n_tok": [512], "source": ["s"]}))
+    out = dft_docs(docs, FeatureConfig(window=None, norm=False),
+                   parts=("abs", "power", "phase")).toPandas()
+    assert out.loc[0, "n_fft"] == 512
+    mag = np.asarray(out.loc[0, "abs"])
+    # Parseval (one-sided): sum x^2 == (|X0|^2 + 2*sum|Xk|^2 + |XN/2|^2)/N
+    lhs = float(np.sum(np.square(sig, dtype="float64")))
+    rhs = (mag[0] ** 2 + 2 * np.sum(mag[1:-1] ** 2) + mag[-1] ** 2) / 512
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+    phase = np.asarray(out.loc[0, "phase"])
+    assert (np.abs(phase) <= np.pi).all()
+
+
+def test_evaluate_onsets(spark):
+    from apollon_spark.onsets import evaluate_onsets
+    truth = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "a", "b"], "frame": [100, 5000, 200]}))
+    det = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "a", "a"], "frame": [150, 9000, 9500]}))
+    out = evaluate_onsets(det, truth, tolerance=512).toPandas() \
+        .set_index("doc_id")
+    assert out.loc["a", "hits"] == 1
+    np.testing.assert_allclose(out.loc["a", "precision"], 1 / 3)
+    np.testing.assert_allclose(out.loc["a", "recall"], 1 / 2)
+    assert out.loc["b", "n_det"] == 0 and out.loc["b", "f1"] == 0.0

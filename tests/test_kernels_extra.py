@@ -94,12 +94,35 @@ def test_scalar_columns(spark):
 
 def test_nonlinear_battery_spark(spark):
     from apollon_spark.datagen import synth_docs
-    docs = synth_docs(spark, 3, whales=False)
-    out = extract_nonlinear(docs).toPandas()
+    docs = synth_docs(spark, 3, whales=False).toPandas()
+    docs["n_tok"] = docs["n_tok"].astype("int32")
+    sdf = spark.createDataFrame(docs)
+    out = extract_nonlinear(sdf, max_samples=4096).toPandas() \
+        .merge(docs[["doc_id", "n_tok"]], on="doc_id")
     assert len(out) == 3
-    assert np.isfinite(out["cdim"]).all()       # docs are >= 2000 tokens
+    # cdim defined exactly where the Bader kernel's fixed traversal fits
+    # (2389 + 79*14 + 1 samples, cdim.c:177,203-219)
+    need = 2390 + 79 * 14
+    long_enough = out["n_tok"] >= need
+    assert np.isfinite(out.loc[long_enough, "cdim"]).all()
+    assert out.loc[~long_enough, "cdim"].isna().all()
     assert np.isfinite(out["correlogram"]).all()
     assert (out["acf_lag1"] <= 1.0 + 1e-9).all()
+
+
+def test_cdim_bader_behavioral():
+    """Kernel quirks: chaotic low-dim signal -> positive slope;
+    concentrated-distance noise -> 0 (argmax lands in bin 0 because the
+    C kernel only scans the first 3/5 bins); too-short input raises."""
+    traj = kernels.lorenz_attractor(4000)
+    x = traj[:, 0] / np.abs(traj[:, 0]).max()
+    assert kernels.cdim(x[None, :], 14, 80)[0] > 0.5
+    rng = np.random.default_rng(0)
+    p = rng.poisson(50, 4000).astype("float64")
+    assert kernels.cdim((p / p.max())[None, :], 14, 80)[0] == 0.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kernels.cdim_bader(np.zeros(3000), 14, 80)
 
 
 def test_bandpass_docs_spark(spark):
