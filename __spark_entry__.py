@@ -653,8 +653,8 @@ WINDOW w AS (PARTITION BY doc_id ORDER BY position
 {_W},
 meta AS (
   SELECT doc_id,
-         (n_tok + 32 + ((((-(n_tok - 32)) % 16) + 16) % 16 % 32) - 16) // 16
-           AS n_segs
+         CAST((n_tok + 32 + ((((-(n_tok - 32)) % 16) + 16) % 16 % 32) - 16)
+              // 16 AS BIGINT) AS n_segs
   FROM docs WHERE n_tok >= 32
 )
 SELECT doc_id, n_segs,

@@ -53,13 +53,25 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def minhash_signature_col(arr: Column, n_hashes: int, seed: int = 7) -> Column:
     """MinHash signature of an array<int> column: for each hash j,
     min over elements of (a_j * x + b_j) mod (2^31-1). Pure array SQL
-    (JVM-side), no UDF."""
-    sigs = [
-        F.array_min(F.transform(
-            arr, lambda x: (F.lit(a) * x.cast("long") + F.lit(b)) % MERSENNE))
-        for a, b in hash_params(n_hashes, seed)
-    ]
-    return F.array(*sigs)
+    (JVM-side), no UDF.
+
+    Implemented as ONE fold over the array carrying all n_hashes
+    running minima (indexed zip_with lambda). The naive form —
+    n_hashes separate ``array_min(transform(arr, ...))`` projections —
+    re-inlines ``arr``'s expression per hash and measured 300x slower
+    at sf0.1 once ``arr`` was itself a shingle transform."""
+    params = hash_params(n_hashes, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    acc0 = F.array_repeat(F.lit(MERSENNE + 1).cast("long"), n_hashes)
+    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.aggregate(
+        arr, acc0,
+        lambda acc, x: F.zip_with(
+            acc, idx,
+            lambda m, j: F.least(
+                m, (F.element_at(a_arr, j + 1) * x.cast("long")
+                    + F.element_at(b_arr, j + 1)) % MERSENNE)))
 
 
 def token_shingles(arr: Column, k: int) -> Column:
@@ -77,11 +89,38 @@ def token_shingles(arr: Column, k: int) -> Column:
 def minhash_docs(docs: DataFrame, n_hashes: int = 16, shingle_k: int = 3,
                  seed: int = 7, id_col: str = "doc_id",
                  arr_col: str = "tokens") -> DataFrame:
-    """(id, signature array<long>) over token shingles."""
-    sh = token_shingles(F.col(arr_col), shingle_k)
-    return docs.select(
-        id_col,
-        minhash_signature_col(sh, n_hashes, seed).alias("signature"))
+    """(id, signature array<long>) over token shingles.
+
+    Arrow-vectorized numpy kernel (exact same int64 arithmetic as the
+    SQL form — tested equal). Catalyst's higher-order functions are
+    CodegenFallback (interpreted), which made the pure-SQL fold 20-100x
+    slower under a Generate; the batched numpy path is the hot path,
+    ``minhash_signature_col`` remains for SQL composition."""
+    import numpy as np
+    import pandas as pd
+
+    params = hash_params(n_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+    k = shingle_k
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for rid, toks in zip(pdf[id_col], pdf[arr_col]):
+                t = np.asarray(toks, dtype=np.int64)
+                if t.size < k:
+                    continue
+                sh = t[:t.size - k + 1] % MERSENNE
+                for j in range(1, k):
+                    sh = (sh * 1_000_003 + t[j:t.size - k + 1 + j]) % MERSENNE
+                hv = (a_vec[None, :] * sh[:, None] + b_vec[None, :]) % MERSENNE
+                ids.append(rid)
+                sigs.append(hv.min(axis=0))
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    return docs.select(id_col, arr_col).mapInPandas(
+        gen, f"{id_col} string, signature array<long>")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,

@@ -100,3 +100,17 @@ def test_ngram_jaccard_pairs(spark, near_dup_docs):
     for _, r in out.iterrows():
         true = len(sh[r.id_a] & sh[r.id_b]) / len(sh[r.id_a] | sh[r.id_b])
         np.testing.assert_allclose(r.jaccard, true, rtol=1e-9)
+
+
+def test_minhash_udf_equals_sql(spark, near_dup_docs):
+    """The Arrow-numpy fast path must produce bit-identical signatures
+    to the pure-SQL fold."""
+    from pyspark.sql import functions as F
+    sql_sigs = near_dup_docs.where(F.size("tokens") >= 3).select(
+        "doc_id",
+        dedup.minhash_signature_col(
+            dedup.token_shingles(F.col("tokens"), 3), 8).alias("signature"))
+    udf_sigs = dedup.minhash_docs(near_dup_docs, 8, 3)
+    a = {r.doc_id: list(r.signature) for r in sql_sigs.collect()}
+    b = {r.doc_id: list(r.signature) for r in udf_sigs.collect()}
+    assert a == b

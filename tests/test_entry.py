@@ -43,6 +43,17 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     assert list(got.columns) == list(want.columns), \
         f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    # the driver compares schemas: require matching dtypes (modulo
+    # pandas nullable encodings of the same logical type)
+    def _norm_dtype(dt):
+        s = str(dt)
+        return {"Int64": "int64", "Int32": "int32", "Float64": "float64",
+                "boolean": "bool"}.get(s, s)
+    for c in got.columns:
+        g, w = _norm_dtype(got[c].dtype), _norm_dtype(want[c].dtype)
+        if "float" in g and "float" in w:
+            continue
+        assert g == w, f"{name}:{c} dtype {g} vs {w}"
     for c in got.columns:
         g, w = got[c], want[c]
         if g.dtype.kind == "f" or w.dtype.kind == "f":

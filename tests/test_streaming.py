@@ -47,3 +47,74 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     got_start_us = got["session_start"].astype("int64") // 1000
     # pandas datetime64[ns] -> us
     assert (got_start_us.to_numpy() == want["session_start"].to_numpy()).all()
+
+
+def test_stream_features_matches_batch(spark, tmp_path):
+    """File-stream -> foreachBatch battery == batch battery."""
+    import numpy as np
+    from apollon_spark.datagen import synth_docs
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    from apollon_spark.streaming import stream_features
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = synth_docs(spark, 4, whales=False)
+    docs.write.mode("overwrite").parquet(src)
+
+    cfg = FeatureConfig(framing=FramingParams(128, 64))
+    q = stream_features(spark, src, out, ckpt, cfg)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    want = extract_features(spark.read.parquet(src), cfg).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    np.testing.assert_allclose(got["centroid"], want["centroid"], rtol=1e-12)
+    np.testing.assert_allclose(got["sharpness"], want["sharpness"], rtol=1e-12)
+
+
+def test_stream_peak_picker_state_carries(spark, tmp_path):
+    """The recursive smoother's state must persist across micro-batches:
+    a spike in batch 2 is suppressed if batch 1 ended with high g."""
+    import numpy as np
+    import pandas as pd
+    from apollon_spark.streaming import stream_peak_picker
+
+    src = str(tmp_path / "odf_src")
+    # batch 1: big peak at end pushes g high
+    b1 = pd.DataFrame({"doc_id": ["a"] * 6, "seg_idx": range(6),
+                       "value": [0.1, 0.1, 0.1, 0.1, 0.1, 10.0]})
+    # batch 2: bump as the FIRST row — with fresh state (g=0) the
+    # smoother would let 3.0 fire; carried g=10 from batch 1 gives
+    # foo = max(3, 0.1*10 + 0.9*3) = 3.7 > 3 -> suppressed
+    b2 = pd.DataFrame({"doc_id": ["a"] * 4, "seg_idx": range(6, 10),
+                       "value": [3.0, 0.5, 0.5, 0.5]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite") \
+        .parquet(src + "/batch=1")
+
+    stream = (spark.readStream
+              .schema("doc_id string, seg_idx long, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    out = stream_peak_picker(stream)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("peaks_out").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).coalesce(1).write.mode("overwrite") \
+            .parquet(src + "/batch=2")
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM peaks_out").toPandas() \
+            .sort_values("seg_idx").reset_index(drop=True)
+    finally:
+        q.stop()
+
+    assert len(got) == 10
+    peaks = got[got["is_peak"]]["seg_idx"].tolist()
+    assert 5 in peaks                 # the true spike
+    # without cross-batch state, seg 6 (value 3.0, local max, above the
+    # window mean) would fire; the carried smoother must suppress it
+    assert 6 not in peaks
