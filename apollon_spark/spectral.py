@@ -44,6 +44,8 @@ class FeatureConfig:
     entropy_delay: int = 10
     entropy_m_dims: int = 3
     entropy_bins: int = 10
+    with_roughness: bool = False  # Helmholtz roughness (features.py:399-432)
+    roughness_frq_max: float = 4000.0
 
 
 FEATURES_SCHEMA = (
@@ -63,6 +65,17 @@ FEATURE_COLS = ["energy", "rms", "spl", "centroid", "spread", "skewness",
 OUT_COLS = ["doc_id", "seg_idx", "center", "ts", "energy", "rms", "spl",
             "centroid", "spread", "skewness", "kurtosis", "flux", "fspl",
             "loudness", "sharpness", "entropy"]
+
+
+def _schema_and_cols(cfg: "FeatureConfig", split: bool) -> tuple[str, list]:
+    """(mapInPandas schema, final output column order) honoring the
+    optional roughness column."""
+    schema = FEATURES_SPLIT_SCHEMA if split else FEATURES_SCHEMA
+    cols = list(OUT_COLS)
+    if cfg.with_roughness:
+        schema += ", roughness double"
+        cols.append("roughness")
+    return schema, cols
 
 
 def _battery(segs: np.ndarray, cfg: FeatureConfig,
@@ -111,6 +124,10 @@ def _battery(segs: np.ndarray, cfg: FeatureConfig,
         out["entropy"] = ent
     else:
         out["entropy"] = np.full(segs.shape[0], np.nan)
+    if cfg.with_roughness:
+        d_frq = frqs[1] - frqs[0] if frqs.size > 1 else 1.0
+        out["roughness"] = kernels.roughness_helmholtz(
+            d_frq, mag, cfg.roughness_frq_max, total=True)
     return out
 
 
@@ -141,6 +158,7 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
     n_perseg, n_overlap = p.n_perseg, p.n_overlap
     extend, pad, causal = p.extend, p.pad, cfg.causal
     cfg_b = cfg
+    schema, out_cols = _schema_and_cols(cfg, split=False)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_fft = cfg_b.n_fft or n_perseg
@@ -168,13 +186,13 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
                        "center": centers,
                        "ts": centers / cfg_b.fps}
                 res.update(feats)
-                out.append(pd.DataFrame(res)[OUT_COLS])
+                out.append(pd.DataFrame(res)[out_cols])
             if out:
                 yield pd.concat(out, ignore_index=True)
 
     # whole doc per UDF call => sharpness finalized in-UDF: the plan is
     # Scan -> Project -> MapInPandas, ZERO shuffles.
-    return docs.select("doc_id", "tokens").mapInPandas(gen, FEATURES_SCHEMA)
+    return docs.select("doc_id", "tokens").mapInPandas(gen, schema)
 
 
 def _extract_split(docs: DataFrame, cfg: FeatureConfig,
@@ -192,6 +210,7 @@ def _extract_split(docs: DataFrame, cfg: FeatureConfig,
     n_perseg, n_overlap, step = p.n_perseg, p.n_overlap, p.step
     offset = p.offset
     cfg_b = cfg
+    schema, out_cols = _schema_and_cols(cfg, split=True)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_fft = cfg_b.n_fft or n_perseg
@@ -221,8 +240,8 @@ def _extract_split(docs: DataFrame, cfg: FeatureConfig,
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    raw = chunks.mapInPandas(gen, FEATURES_SPLIT_SCHEMA)
-    return _finalize_sharpness(raw).select(OUT_COLS)
+    raw = chunks.mapInPandas(gen, schema)
+    return _finalize_sharpness(raw).select(out_cols)
 
 
 def dft_docs(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),

@@ -116,3 +116,45 @@ def test_evaluate_onsets(spark):
     np.testing.assert_allclose(out.loc["a", "precision"], 1 / 3)
     np.testing.assert_allclose(out.loc["a", "recall"], 1 / 2)
     assert out.loc["b", "n_det"] == 0 and out.loc["b", "f1"] == 0.0
+
+
+def test_roughness_in_battery(spark):
+    """Optional roughness column flows through both extraction paths."""
+    import pandas as pd
+    from apollon_spark.datagen import synth_docs
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    docs = synth_docs(spark, 2, whales=False)
+    cfg = FeatureConfig(framing=FramingParams(128, 64), with_roughness=True)
+    a = extract_features(docs, cfg).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    assert "roughness" in a.columns and np.isfinite(a["roughness"]).all()
+    b = extract_features(docs, cfg, split=True, chunk_segs=5).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    np.testing.assert_allclose(a["roughness"], b["roughness"], rtol=1e-12)
+    np.testing.assert_allclose(a["sharpness"], b["sharpness"], rtol=1e-12)
+
+
+def test_roughness_kernel_reference_semantics():
+    """Literal restatement of features.py:399-432 per segment."""
+    rng = np.random.default_rng(4)
+    mag = rng.random((3, 257)) * 5
+    d_frq, frq_max = 17.58, 4000.0
+    got = kernels.roughness_helmholtz(d_frq, mag, frq_max, total=False)
+    frm = 33.0
+    bin_idx = int(np.round(frq_max / d_frq))
+    base = np.abs(np.arange(bin_idx + 1)) * d_frq
+    kern = base / (frm * np.exp(-1.0)) * np.exp(-base / frm)
+    for i in range(3):
+        sl = mag[i, :kern.size].copy()
+        if sl.max() > 0:
+            sl /= sl.max()
+        sl[sl < 0.1] = 0
+        rns = np.correlate(sl, sl, "full")[len(sl) - 1:]
+        rns[0] = 0
+        if rns.max() > 0:
+            rns = rns / rns.max()
+            want = rns * kern / (rns > 0.2).sum()
+        else:
+            want = rns * kern
+        np.testing.assert_allclose(got[i], want, rtol=1e-10)
