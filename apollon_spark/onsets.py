@@ -66,22 +66,30 @@ def pick_peaks_series(vals: np.ndarray, n_after: int = 10, n_before: int = 10,
                       alpha: float = 0.1, delta: float = 0.1) -> np.ndarray:
     """FilterPeakPicker.detect parity: local max over the clip-indexed
     window AND >= window mean + delta AND >= the recursive smoother
-    ``g[n+1] = max(val, alpha*g[n] + (1-alpha)*val)``."""
-    g = 0.0
-    out = []
+    ``g[n+1] = max(val, alpha*g[n] + (1-alpha)*val)``.
+
+    Vectorized: the reference's clip-indexed window (onsets.py:246-248,
+    ``np.take(..., mode='clip')`` semantics) repeats the edge value for
+    out-of-range indices, which is exactly an edge-padded sliding
+    window; conds 1-2 become one ``sliding_window_view`` max/mean.
+    Only cond 3's recursion stays a scalar loop (order-dependent)."""
+    vals = np.asarray(vals, dtype="float64")
     n = len(vals)
+    if n == 0:
+        return np.array([], dtype="int64")
+    padded = np.pad(vals, (n_before, n_after), mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(
+        padded, n_before + n_after + 1)
+    cond12 = (vals >= win.max(axis=1)) & (vals >= win.mean(axis=1) + delta)
+    cond3 = np.empty(n, dtype=bool)
+    g = 0.0
     for i in range(n):
         val = vals[i]
-        idx = np.clip(np.arange(i - n_before, i + n_after + 1), 0, n - 1)
-        window = vals[idx]
-        cond1 = np.all(val >= window)
-        cond2 = val >= (window.mean() + delta)
-        foo = max(val, alpha * g + (1 - alpha) * val)
-        cond3 = val >= foo
+        smoothed = alpha * g + (1 - alpha) * val
+        foo = val if val > smoothed else smoothed
+        cond3[i] = val >= foo
         g = foo
-        if cond1 and cond2 and cond3:
-            out.append(i)
-    return np.array(out, dtype="int64")
+    return np.nonzero(cond12 & cond3)[0].astype("int64")
 
 
 def pick_peaks(odf: DataFrame, n_after: int = 10, n_before: int = 10,
@@ -100,17 +108,65 @@ def pick_peaks(odf: DataFrame, n_after: int = 10, n_before: int = 10,
 
 
 def detect_onsets(docs: DataFrame, cfg: FeatureConfig | None = None,
-                  method: str = "flux", **pp) -> DataFrame:
-    """Full detector: odf -> peaks -> (doc_id, frame, time)."""
+                  method: str = "flux", fused: bool = True,
+                  **pp) -> DataFrame:
+    """Full detector: odf -> peaks -> (doc_id, frame, time).
+
+    ``fused=True`` (default, flux method): the whole detector runs in
+    ONE ``mapInPandas`` over whole docs — framing, rfft, flux, the
+    per-doc mean floor, and the peak scan all happen in the same task,
+    so the plan is Scan -> Project -> MapInPandas with ZERO shuffles
+    (the composed path shuffles twice: mean-floor window + peak-pick
+    groupBy). Identical output (tested fused-vs-composed)."""
     from .operators.framing import FramingParams
     if method == "flux":
         cfg = cfg or FeatureConfig(framing=FramingParams(1024, 512))
+        if fused:
+            return _detect_onsets_fused(docs, cfg, **pp)
         odf = flux_odf(docs, cfg)
     elif method == "entropy":
         odf = entropy_odf(docs, cfg)
     else:
         raise ValueError(method)
     return pick_peaks(odf, **pp).select("doc_id", "frame", "time")
+
+
+def _detect_onsets_fused(docs: DataFrame, cfg: FeatureConfig,
+                         n_after: int = 10, n_before: int = 10,
+                         alpha: float = 0.1, delta: float = 0.1) -> DataFrame:
+    """Flux onset detector fused into a single vectorized stage."""
+    p = cfg.framing
+    n_perseg, n_overlap = p.n_perseg, p.n_overlap
+    extend, pad = p.extend, p.pad
+    window, n_fft_c, norm, fps = cfg.window, cfg.n_fft, cfg.norm, cfg.fps
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                sig = np.asarray(tokens, dtype="float64")
+                if sig.size < n_perseg:
+                    continue
+                segs = kernels.frame_signal(
+                    sig, n_perseg, n_overlap, extend, pad)
+                centers = kernels.segment_centers(
+                    segs.shape[0], n_perseg, n_overlap, extend)
+                mag = kernels.rfft_mag(segs, window, n_fft_c, norm)
+                flux = kernels.spectral_flux(mag)
+                value = np.maximum(flux, flux.mean())
+                peaks = pick_peaks_series(
+                    value, n_after, n_before, alpha, delta)
+                if peaks.size:
+                    frames = centers[peaks]
+                    out.append(pd.DataFrame({
+                        "doc_id": np.repeat(doc_id, peaks.size),
+                        "frame": frames,
+                        "time": frames / fps}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return docs.select("doc_id", "tokens").mapInPandas(
+        gen, "doc_id string, frame long, time double")
 
 
 # ---------------------------------------------------------------------------

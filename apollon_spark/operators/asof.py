@@ -170,10 +170,17 @@ def _asof_bucketed(left: DataFrame, right: DataFrame, on: str,
                 F.col("__carry").getField(_RT).alias(_RT),
                 *[F.col("__carry").getField(c).alias(c) for c in value_cols])
     )
-    # candidates per (by, bucket): in-bucket rights + the carry-in row
-    candidates = rsel.unionByName(carry_in)
+    # candidates per (by, bucket): in-bucket rights + the carry-in row.
+    # carry_in derives from lb, so rename the join keys to fresh
+    # attributes — otherwise `lb[c] == candidates[c]` can resolve both
+    # sides to the same column (trivially-true predicate).
+    candidates = rsel.unionByName(carry_in).select(
+        *[F.col(c).alias(f"__r_{c}") for c in by],
+        F.col(_BKT).alias(f"__r_{_BKT}"),
+        _RT, *value_cols)
 
-    cond = [lb[c] == candidates[c] for c in by] + [lb[_BKT] == candidates[_BKT]]
+    cond = [lb[c] == candidates[f"__r_{c}"] for c in by] + \
+        [lb[_BKT] == candidates[f"__r_{_BKT}"]]
     time_ok = (candidates[_RT] <= lb[on].cast("double")) if allow_exact \
         else (candidates[_RT] < lb[on].cast("double"))
     joined = lb.join(candidates, cond, "left") \

@@ -131,6 +131,87 @@ def _battery(segs: np.ndarray, cfg: FeatureConfig,
     return out
 
 
+def _battery_batched(blocks: list, cfg: FeatureConfig,
+                     frqs: np.ndarray, bank: np.ndarray,
+                     final_sharpness: bool = False) -> dict[str, np.ndarray]:
+    """``_battery`` over MANY docs/chunks stacked into one matrix — one
+    rfft call and one pass of row-wise kernels per Arrow batch instead
+    of per doc (the per-doc overhead dominates on short-doc corpora,
+    which is the 10^12-sequence shape).
+
+    Everything row-wise is batch-invariant by construction. The two
+    cross-row computations are handled explicitly:
+
+    - flux: ``np.gradient`` along time must not cross block borders —
+      batched gradient is bit-identical for interior rows, and each
+      block's first/last row is recomputed with np.gradient's exact
+      one-sided edge formula (single-row blocks get flux 0, matching
+      ``spectral_flux``'s guard);
+    - sharpness: the denominator is per-block (critical_bands.py:115),
+      summed over each block's contiguous slice in the same order
+      ``loud_part.sum()`` would use.
+    """
+    counts = np.array([b.shape[0] for b in blocks], dtype="int64")
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    starts, ends = offsets[:-1], offsets[1:]
+    segs = np.vstack(blocks)
+
+    mag = kernels.rfft_mag(segs, cfg.window, cfg.n_fft, cfg.norm)
+    cen = kernels.spectral_centroid(frqs, mag)
+    spr = kernels.spectral_spread(frqs, mag, cen)
+    cbrs = mag @ bank.T
+    loud_spec = kernels.specific_loudness(cbrs)
+    z = np.arange(1, 25, dtype="float64")
+    w = np.maximum(1.0, 0.066 * np.exp(0.171 * z))
+
+    flux = kernels.spectral_flux(mag)
+    multi = counts >= 2
+    if segs.shape[0] > 1:
+        one_s = starts[counts == 1]
+        flux[one_s] = 0.0
+        s, e = starts[multi], ends[multi]
+        if s.size:
+            flux[s] = np.maximum((mag[s + 1] - mag[s]) / 1.0, 0.0).sum(axis=1)
+            flux[e - 1] = np.maximum(
+                (mag[e - 1] - mag[e - 2]) / 1.0, 0.0).sum(axis=1)
+
+    out = {
+        "energy": kernels.energy(segs),
+        "rms": kernels.rms(segs),
+        "spl": kernels.spl(segs),
+        "centroid": cen,
+        "spread": spr,
+        "skewness": kernels.spectral_skewness(frqs, mag, cen, spr),
+        "kurtosis": kernels.spectral_kurtosis(frqs, mag, cen, spr),
+        "flux": flux,
+        "fspl": kernels.fspl(mag, total=True),
+        "loudness": loud_spec.sum(axis=1),
+    }
+    sharp_num = cbrs @ (z * w)
+    loud_part = np.maximum(loud_spec, np.finfo("float64").eps).sum(axis=1)
+    if final_sharpness:
+        denoms = np.array([loud_part[s:e].sum()
+                           for s, e in zip(starts, ends)])
+        out["sharpness"] = sharp_num / np.repeat(denoms, counts)
+    else:
+        out["sharp_num"] = sharp_num
+        out["loud_part"] = loud_part
+    if cfg.with_entropy:
+        ent = np.empty(segs.shape[0])
+        for i in range(segs.shape[0]):
+            emb = kernels.delay_embedding(
+                segs[i], cfg.entropy_delay, cfg.entropy_m_dims)
+            ent[i] = kernels.embedding_entropy(emb, cfg.entropy_bins)
+        out["entropy"] = ent
+    else:
+        out["entropy"] = np.full(segs.shape[0], np.nan)
+    if cfg.with_roughness:
+        d_frq = frqs[1] - frqs[0] if frqs.size > 1 else 1.0
+        out["roughness"] = kernels.roughness_helmholtz(
+            d_frq, mag, cfg.roughness_frq_max, total=True)
+    return out
+
+
 def _finalize_sharpness(df: DataFrame) -> DataFrame:
     """sharpness = sharp_num / sum(loud_part) over the doc
     (critical_bands.py:110-124: the denominator is ONE scalar per
@@ -165,7 +246,7 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
         frqs = kernels.rfftfreq(n_fft, cfg_b.fps)
         bank = kernels.bark_filter_bank(frqs)
         for pdf in batches:
-            out = []
+            ids, blocks, centers_l = [], [], []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
                 sig = np.asarray(tokens, dtype="float64")
                 if sig.size < n_perseg:
@@ -178,17 +259,22 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
                         sig, n_perseg, n_overlap, extend, pad)
                     centers = kernels.segment_centers(
                         segs.shape[0], n_perseg, n_overlap, extend)
-                feats = _battery(segs, cfg_b, frqs, bank,
-                                 final_sharpness=True)
-                n = segs.shape[0]
-                res = {"doc_id": np.repeat(doc_id, n),
-                       "seg_idx": np.arange(n, dtype="int32"),
-                       "center": centers,
-                       "ts": centers / cfg_b.fps}
-                res.update(feats)
-                out.append(pd.DataFrame(res)[out_cols])
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                ids.append(doc_id)
+                blocks.append(segs)
+                centers_l.append(centers)
+            if not blocks:
+                continue
+            feats = _battery_batched(blocks, cfg_b, frqs, bank,
+                                     final_sharpness=True)
+            counts = [b.shape[0] for b in blocks]
+            centers = np.concatenate(centers_l)
+            res = {"doc_id": np.repeat(np.array(ids, dtype=object), counts),
+                   "seg_idx": np.concatenate(
+                       [np.arange(c, dtype="int32") for c in counts]),
+                   "center": centers,
+                   "ts": centers / cfg_b.fps}
+            res.update(feats)
+            yield pd.DataFrame(res)[out_cols]
 
     # whole doc per UDF call => sharpness finalized in-UDF: the plan is
     # Scan -> Project -> MapInPandas, ZERO shuffles.
@@ -217,28 +303,35 @@ def _extract_split(docs: DataFrame, cfg: FeatureConfig,
         frqs = kernels.rfftfreq(n_fft, cfg_b.fps)
         bank = kernels.bark_filter_bank(frqs)
         for pdf in batches:
-            out = []
+            ids, blocks, takes, seg_idx_l = [], [], [], []
+            base = 0
             for row in pdf.itertuples(index=False):
                 sig = np.asarray(row.chunk_tokens, dtype="float64")
                 # chunk tokens were materialized so that plain
                 # non-extended framing reproduces the owned segments
                 segs = kernels.frame_signal(
                     sig, n_perseg, n_overlap, extend=False, pad=False)
-                feats = _battery(segs, cfg_b, frqs, bank)
                 lo, n_local = row.halo_lo, row.n_local_segs
-                sel = slice(lo, lo + n_local)
-                seg_idx = np.arange(row.seg_base, row.seg_base + n_local,
-                                    dtype="int32")
-                centers = seg_idx.astype("int64") * step + offset
-                res = {"doc_id": np.repeat(row.doc_id, n_local),
-                       "seg_idx": seg_idx,
-                       "center": centers,
-                       "ts": centers / cfg_b.fps}
-                for key, val in feats.items():
-                    res[key] = val[sel]
-                out.append(pd.DataFrame(res))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                ids.append(row.doc_id)
+                blocks.append(segs)
+                takes.append(np.arange(base + lo, base + lo + n_local))
+                seg_idx_l.append(np.arange(
+                    row.seg_base, row.seg_base + n_local, dtype="int32"))
+                base += segs.shape[0]
+            if not blocks:
+                continue
+            feats = _battery_batched(blocks, cfg_b, frqs, bank)
+            take = np.concatenate(takes)
+            counts = [t.size for t in takes]
+            seg_idx = np.concatenate(seg_idx_l)
+            centers = seg_idx.astype("int64") * step + offset
+            res = {"doc_id": np.repeat(np.array(ids, dtype=object), counts),
+                   "seg_idx": seg_idx,
+                   "center": centers,
+                   "ts": centers / cfg_b.fps}
+            for key, val in feats.items():
+                res[key] = val[take]
+            yield pd.DataFrame(res)
 
     raw = chunks.mapInPandas(gen, schema)
     return _finalize_sharpness(raw).select(out_cols)

@@ -54,6 +54,18 @@ def test_flux_onsets_recall_on_bursts(spark):
     assert hits / total >= 0.7
 
 
+def test_fused_equals_composed(spark):
+    docs = synth_docs_bursts(spark, 5, n_tok=4096, n_bursts=3,
+                             burst_len=512)
+    cfg = FeatureConfig(framing=FramingParams(128, 64))
+    kw = dict(n_before=3, n_after=3, delta=0.05)
+    fused = detect_onsets(docs, cfg, fused=True, **kw).toPandas() \
+        .sort_values(["doc_id", "frame"]).reset_index(drop=True)
+    comp = detect_onsets(docs, cfg, fused=False, **kw).toPandas() \
+        .sort_values(["doc_id", "frame"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fused, comp)
+
+
 def test_by_onsets_gather_clipping(spark):
     pdf = pd.DataFrame({
         "doc_id": ["a"], "tokens": [list(range(100))],
