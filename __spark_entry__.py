@@ -375,6 +375,20 @@ def _q_onset_gather(spark, sf_dir):
     return gathered.select("doc_id", "frame", wsum.alias("wsum"))
 
 
+def _q_cosine_neardup(spark, sf_dir):
+    from apollon_spark.ml.dedup import cosine_near_dups
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dups(emb, "vec_id", "embedding", threshold=0.2,
+                            scope=F.col("vec_id") < 200)
+
+
+def _q_cosine_neardup_lsh(spark, sf_dir):
+    from apollon_spark.ml.dedup import cosine_near_dups_lsh
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dups_lsh(emb, "vec_id", "embedding", threshold=0.2,
+                                n_planes=4, n_bands=4)
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-verified) ---------------
 
 def _q_features_battery(spark, sf_dir):
@@ -491,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delay_embed": _q_delay_embed,
         "join_revenue": _q_join_revenue,
         "onset_gather": _q_onset_gather,
+        "cosine_neardup": _q_cosine_neardup,
         # rows-only (non-SQL-expressible; pytest parity instead)
         "features_battery": _q_features_battery,
         "features_split": _q_features_split,
@@ -502,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nonlinear": _q_nonlinear,
         "ivf_ann": _q_ivf_ann,
         "similarity_position": _q_similarity_position,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
     }
 
 
@@ -920,5 +936,20 @@ SELECT doc_id, CAST(frame AS INT) AS frame,
          tokens[pos + 1 : least(pos + 8, n_tok)],
          x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS wsum
 FROM clipped
+""",
+        "cosine_neardup": """
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding
+           FROM embeddings WHERE vec_id < 200),
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+             unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      FROM e a JOIN e b ON a.id < b.id),
+sims AS (
+  SELECT id_a, id_b,
+         round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (sqrt(sum(CAST(x AS DOUBLE) * x)) *
+                  sqrt(sum(CAST(y AS DOUBLE) * y))), 6) AS cos_sim
+  FROM p GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.2
 """,
     }

@@ -258,3 +258,86 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, arr_col: str, k: int,
                 jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ``array<double>`` columns in pure array
+    SQL (JVM-side fold, no Python): dot / (|a| * |b|)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def cosine_near_dups(vectors: DataFrame, id_col: str, vec_col: str,
+                     threshold: float, scope: Column | None = None) -> DataFrame:
+    """Exact all-pairs embedding-cosine near-dup mining above
+    ``threshold``. O(n^2) within the optional ``scope`` — the
+    correctness baseline; use ``cosine_near_dups_lsh`` at scale."""
+    base = vectors.where(scope) if scope is not None else vectors
+    v = base.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
+def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
+                         threshold: float, n_planes: int = 8,
+                         n_bands: int = 4, seed: int = 11) -> DataFrame:
+    """Scale path: sign-hyperplane LSH candidate generation, then exact
+    cosine on candidates only. Each band hashes the embedding with
+    ``n_planes`` random hyperplanes; a pair is a candidate when it
+    collides in ANY band (union + distinct), so the self-join runs on
+    (band, bucket) keys instead of n^2. Candidate volume is bounded by
+    bucket collisions; raise n_planes to tighten buckets, n_bands to
+    raise recall. Recall is probabilistic (standard SimHash-LSH
+    behavior), exactness only of the final cosine filter."""
+    import numpy as np
+    dim = len(vectors.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands, n_planes, dim))
+
+    v = vectors.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    bucketed = []
+    for band in range(n_bands):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(c))
+                                  for c in planes[band, p]]),
+                        lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x) >= 0,
+                F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(n_planes)]
+        bkt = bits[0]
+        for x in bits[1:]:
+            bkt = bkt + x
+        bucketed.append(v.select(
+            "id", "v", F.lit(band).alias("band"), bkt.alias("bkt")))
+    allb = bucketed[0]
+    for x in bucketed[1:]:
+        allb = allb.unionByName(x)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bkt") == F.col("b.bkt"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    return (cand.select("id_a", "id_b", sim.alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))

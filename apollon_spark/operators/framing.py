@@ -159,7 +159,8 @@ CHUNKS_COLS = ["doc_id", "seg_base", "n_local_segs", "chunk_tokens",
 
 
 def split_docs_halo(docs: DataFrame, p: FramingParams,
-                    chunk_segs: int = 4096, flux_halo: int = 1) -> DataFrame:
+                    chunk_segs: int = 4096, flux_halo: int = 1,
+                    exchange: bool = True) -> DataFrame:
     """Split each doc into chunks of <= ``chunk_segs`` segments with a
     halo so each segment is produced by exactly one chunk.
 
@@ -211,7 +212,7 @@ def split_docs_halo(docs: DataFrame, p: FramingParams,
         zeros(pad_back),
     )
 
-    return d.select(
+    out = d.select(
         "doc_id",
         seg_base.cast("int").alias("seg_base"),
         (seg_hi - seg_base).cast("int").alias("n_local_segs"),
@@ -219,6 +220,16 @@ def split_docs_halo(docs: DataFrame, p: FramingParams,
         halo_lo.cast("int").alias("halo_lo"),
         halo_hi.cast("int").alias("halo_hi"),
     )
+    if exchange:
+        # The explode is narrow: without an exchange every chunk of a
+        # whale stays in its parent scan partition, so one task still
+        # owns the whole whale and becomes a fixed straggler no number
+        # of cores can absorb. This round-robin shuffle IS the halo
+        # exchange — it moves chunk rows (same total bytes as the
+        # input) exactly once and is what buys whale parallelism.
+        sc = docs.sparkSession.sparkContext
+        out = out.repartition(3 * sc.defaultParallelism)
+    return out
 
 
 # ---------------------------------------------------------------------------

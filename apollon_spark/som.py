@@ -346,3 +346,57 @@ def incremental_fit(data: np.ndarray, p: SomParams) -> tuple[np.ndarray, list[fl
         _, dist = best_match(weights, data, p.metric)
         qerrors.append(float(dist.mean()))
     return weights, qerrors
+
+
+# ---------------------------------------------------------------------------
+# Calibration-family queries (som/som.py:174-273, som/utilities.py:225-246)
+# ---------------------------------------------------------------------------
+
+def distribute(bmu_rows: DataFrame, id_col: str = "vec_id",
+               bmu_col: str = "bmu") -> DataFrame:
+    """Invert the BMU mapping: unit -> list of matched input ids
+    (som/som.py:240-256 ``distribute``). One groupBy on the (tiny)
+    assignment table."""
+    from pyspark.sql import functions as F
+    return (bmu_rows.groupBy(F.col(bmu_col).alias("unit"))
+            .agg(F.sort_array(F.collect_list(id_col)).alias("matched_ids"),
+                 F.count("*").alias("n_matched")))
+
+
+def match_flat(bmu_rows: DataFrame, bmu_col: str = "bmu") -> DataFrame:
+    """BMU flat index per row (som/utilities.py:225-233) — identity on
+    our representation; kept for API parity."""
+    return bmu_rows
+
+
+def match_2d(bmu_rows: DataFrame, n_cols: int,
+             bmu_col: str = "bmu") -> DataFrame:
+    """BMU multi-index (row, col) per input (som/som.py:258-264
+    ``match``: unravel of the flat index on the lattice)."""
+    from pyspark.sql import functions as F
+    return bmu_rows.withColumn(
+        "bmu_row", (F.col(bmu_col) / n_cols).cast("int")).withColumn(
+        "bmu_col", F.col(bmu_col) % n_cols)
+
+
+def transform_weights(bmu_rows: DataFrame, weights: np.ndarray,
+                      bmu_col: str = "bmu") -> DataFrame:
+    """Replace each input by its BMU's weight vector (som/som.py:266-273
+    ``transform``) — broadcast weight matrix + vectorized gather in a
+    pUDF (a literal array would bloat the plan at real SOM sizes; a
+    join would shuffle)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+    spark = bmu_rows.sparkSession
+    bw = spark.sparkContext.broadcast(weights)
+    schema = StructType(list(bmu_rows.schema.fields)
+                        + [StructField("bmu_weights",
+                                       ArrayType(DoubleType()))])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w_ = bw.value
+        for pdf in batches:
+            out = pdf.copy()
+            out["bmu_weights"] = list(w_[pdf[bmu_col].to_numpy()])
+            yield out
+
+    return bmu_rows.mapInPandas(gen, schema)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -22,15 +23,25 @@ def run_at(cpus: int, n_docs: int) -> dict:
                SPARK_GRAFT_CPUS=str(cpus),
                BENCH_MODE="features",
                BENCH_DOCS=str(n_docs))
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py")],
-        env=env, capture_output=True, text=True, check=True)
+    # Pin the whole process tree (JVM + python workers) to `cpus`
+    # CPUs: an unpinned local[8] JVM on a 32-core box offloads GC,
+    # shuffle and IO threads onto the other 24 cores, inflating the
+    # small-cluster baseline and understating scaling efficiency. An
+    # 8-core EXECUTOR has no such spare cores.
+    cmd = [sys.executable, os.path.join(HERE, "bench.py")]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("SCALING_DOCS", "8192"))
+    # sized so the job is COMPUTE-bound at both parallelism levels —
+    # after the batched-battery speedup, 8192 docs finished in seconds
+    # and fixed per-job overhead drowned the signal
+    n_docs = int(os.environ.get("SCALING_DOCS", "65536"))
     results = {}
     for cpus in (8, 32):
         t0 = time.time()
@@ -50,13 +61,18 @@ def main() -> None:
 
 Protocol (BASELINE.md): identical end-to-end feature-extraction job
 (synthetic F1 docs table, {n_docs} docs, Zipf lengths incl. whales;
-framing 512/256, full spectral battery; whales via halo-split) at two
-local parallelism levels on the same input.
+framing 512/256, full spectral battery; whales via halo-split +
+round-robin chunk exchange) at two local parallelism levels on the
+same input. Each level's process tree is `taskset`-pinned to exactly
+that many CPUs (an unpinned local[8] JVM on a 32-core box would
+offload GC/shuffle threads onto spare cores and understate scaling);
+timing is best-of-3 on the cached input (this VM shows multi-second
+JVM stalls at random).
 
 | config | sequences/sec | compute sec | segments |
 |---|---|---|---|
-| local[8]  | {thr8} | {results[8]['queries']['feature_extraction']} | {results[8]['n_segments']} |
-| local[32] | {thr32} | {results[32]['queries']['feature_extraction']} | {results[32]['n_segments']} |
+| local[8], pinned 0-7  | {thr8} | {results[8]['queries']['feature_extraction']} | {results[8]['n_segments']} |
+| local[32], pinned 0-31 | {thr32} | {results[32]['queries']['feature_extraction']} | {results[32]['n_segments']} |
 
 **Scaling efficiency** `eff = (thr32 / thr8) / 4 = {eff:.3f}`
 (pass bar >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).

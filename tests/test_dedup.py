@@ -114,3 +114,33 @@ def test_minhash_udf_equals_sql(spark, near_dup_docs):
     a = {r.doc_id: list(r.signature) for r in sql_sigs.collect()}
     b = {r.doc_id: list(r.signature) for r in udf_sigs.collect()}
     assert a == b
+
+
+def test_cosine_near_dups_exact_and_lsh(spark):
+    """Exact cosine pairs match a numpy oracle; LSH candidates are a
+    subset with decent recall on the embeddings fixture."""
+    from apollon_spark.ml import dedup as dd
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = dd.cosine_near_dups(emb, "vec_id", "embedding", 0.5).toPandas()
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, "float64") for v in pdf["embedding"]])
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    want = {(int(min(a, b)), int(max(a, b)))
+            for i, a in enumerate(ids) for j, b in enumerate(ids)
+            if a < b and round(sims[i, j], 6) >= 0.5}
+    got = {(int(r.id_a), int(r.id_b)) for _, r in exact.iterrows()}
+    assert got == want
+    for _, r in exact.iterrows():
+        i = np.where(ids == r.id_a)[0][0]
+        j = np.where(ids == r.id_b)[0][0]
+        np.testing.assert_allclose(r.cos_sim, sims[i, j], atol=1e-6)
+
+    lsh = dd.cosine_near_dups_lsh(emb, "vec_id", "embedding", 0.5,
+                                  n_planes=4, n_bands=8).toPandas()
+    got_lsh = {(int(r.id_a), int(r.id_b)) for _, r in lsh.iterrows()}
+    assert got_lsh <= got              # no false positives after filter
+    if want:
+        assert len(got_lsh) / len(want) >= 0.5   # recall at 8 bands

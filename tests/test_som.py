@@ -76,3 +76,21 @@ def test_init_weights_deterministic():
     np.testing.assert_array_equal(a, b)
     stm = som.init_weights("stm", (2, 2, 9), seed=10)
     np.testing.assert_allclose(stm.reshape(4, 3, 3).sum(-1), 1.0, atol=1e-12)
+
+
+def test_calibration_family(spark):
+    """distribute/match_2d/transform_weights over a BMU assignment."""
+    import pandas as pd
+    from apollon_spark.som import distribute, match_2d, transform_weights
+    rows = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0, 1, 2, 3], "bmu": [2, 2, 5, 0]}))
+    d = distribute(rows).orderBy("unit").toPandas()
+    assert list(d["unit"]) == [0, 2, 5]
+    assert list(d.loc[d["unit"] == 2, "matched_ids"].iloc[0]) == [0, 1]
+    m = match_2d(rows, n_cols=3).orderBy("vec_id").toPandas()
+    assert list(m["bmu_row"]) == [0, 0, 1, 0]
+    assert list(m["bmu_col"]) == [2, 2, 2, 0]
+    w = np.arange(12, dtype="float64").reshape(6, 2)
+    t = transform_weights(rows, w).orderBy("vec_id").toPandas()
+    assert list(t.loc[0, "bmu_weights"]) == [4.0, 5.0]
+    assert list(t.loc[3, "bmu_weights"]) == [0.0, 1.0]
