@@ -160,7 +160,7 @@ CHUNKS_COLS = ["doc_id", "seg_base", "n_local_segs", "chunk_tokens",
 
 def split_docs_halo(docs: DataFrame, p: FramingParams,
                     chunk_segs: int = 4096, flux_halo: int = 1,
-                    exchange: bool = True) -> DataFrame:
+                    exchange: bool = True, causal: bool = False) -> DataFrame:
     """Split each doc into chunks of <= ``chunk_segs`` segments with a
     halo so each segment is produced by exactly one chunk.
 
@@ -176,11 +176,17 @@ def split_docs_halo(docs: DataFrame, p: FramingParams,
     at each side (0 at doc edges).
     """
     step, n_perseg = p.step, p.n_perseg
-    ext = p.ext_len
+    # causal framing (kernels.causal_frame_signal): segment i covers
+    # [i*step - n_perseg + 1, i*step], n_segs = ceil(n_tok/step) — the
+    # same chunk algebra with ext = n_perseg-1 and no tail pad.
+    ext = (n_perseg - 1) if causal else p.ext_len
+    n_segs_col = (
+        F.ceil(F.col("n_tok") / F.lit(step)).cast("int") if causal
+        else n_segments_col(F.col("n_tok"), p))
 
     d = docs.select(
         "doc_id", "tokens", "n_tok",
-        n_segments_col(F.col("n_tok"), p).alias("n_segs"),
+        n_segs_col.alias("n_segs"),
     )
     d = d.where(F.col("n_tok") >= p.n_perseg)
     d = d.withColumn(

@@ -284,17 +284,15 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
 def _extract_split(docs: DataFrame, cfg: FeatureConfig,
                    chunk_segs: int) -> DataFrame:
     """Skew path: chunked extraction with flux halo."""
-    if cfg.causal:
-        # causal framing never looks forward, so the flux halo only
-        # needs the PREVIOUS segment; reuse the same machinery with the
-        # standard grid by framing causally inside the chunk instead.
-        raise NotImplementedError(
-            "causal split mode: use split=False (causal windows are "
-            "cheap) or pre-chunk upstream")
     p = cfg.framing
-    chunks = split_docs_halo(docs, p, chunk_segs=chunk_segs, flux_halo=1)
+    chunks = split_docs_halo(docs, p, chunk_segs=chunk_segs, flux_halo=1,
+                             causal=cfg.causal)
     n_perseg, n_overlap, step = p.n_perseg, p.n_overlap, p.step
-    offset = p.offset
+    # causal centers are i*step (kernels.causal_frame_signal); the
+    # chunk slice already starts n_perseg-1 before the owned segment,
+    # so plain non-extended framing inside the chunk reproduces the
+    # causal windows exactly.
+    offset = 0 if cfg.causal else p.offset
     cfg_b = cfg
     schema, out_cols = _schema_and_cols(cfg, split=True)
 

@@ -198,3 +198,24 @@ def test_causal_mode_no_leakage(spark):
                 kernels.spectral_centroid(frqs, mag)[0], rtol=1e-9)
             np.testing.assert_allclose(
                 row["energy"], kernels.energy(prefix[None, :])[0], rtol=1e-9)
+
+
+def test_causal_split_equals_unsplit(spark):
+    """Causal mode through the halo-split path matches the fast path
+    exactly (closes the former NotImplementedError)."""
+    from apollon_spark.datagen import synth_docs
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    docs = synth_docs(spark, 12, whales=False)
+    cfg = FeatureConfig(framing=FramingParams(64, 32), causal=True)
+    a = extract_features(docs, cfg, split=False).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    b = extract_features(docs, cfg, split=True, chunk_segs=5).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    np.testing.assert_array_equal(a["seg_idx"], b["seg_idx"])
+    np.testing.assert_array_equal(a["center"], b["center"])
+    for col in ["energy", "rms", "centroid", "spread", "flux", "fspl",
+                "loudness", "sharpness"]:
+        np.testing.assert_allclose(a[col], b[col], rtol=1e-12, atol=1e-12,
+                                   err_msg=col)

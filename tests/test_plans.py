@@ -1,0 +1,43 @@
+"""Physical-plan regression gates: the scale properties SCALE.md
+claims must be visible in the plans themselves."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from apollon_spark.datagen import synth_docs
+from apollon_spark.operators.framing import FramingParams
+from apollon_spark.spectral import FeatureConfig, extract_features
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fast_path_has_no_exchange(spark, sf_dir):
+    from apollon_spark.tokenize import docs_from_documents
+    docs = docs_from_documents(spark, sf_dir)
+    out = extract_features(docs, FeatureConfig(framing=FramingParams(64, 32)))
+    plan = _plan(out)
+    assert "Exchange" not in plan          # Scan -> Project -> MapInPandas
+    assert "MapInPandas" in plan
+
+
+def test_split_path_has_halo_exchange(spark):
+    docs = synth_docs(spark, 4, whales=False)
+    out = extract_features(docs, FeatureConfig(framing=FramingParams(64, 32)),
+                           split=True, chunk_segs=8)
+    plan = _plan(out)
+    assert "RoundRobinPartitioning" in plan      # the halo exchange
+    assert plan.count("Exchange") <= 3           # halo + sharpness window (AQE may stage)
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A query touching only (doc_id, source) must not scan the
+    text-heavy column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.groupBy("source").agg(F.countDistinct("doc_id"))
+    plan = _plan(q)
+    read = plan.split("ReadSchema:")[-1]
+    assert "doc_id" in read and "source" in read
+    assert "text" not in read
