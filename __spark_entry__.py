@@ -385,8 +385,8 @@ def _q_cosine_neardup(spark, sf_dir):
 def _q_cosine_neardup_lsh(spark, sf_dir):
     from apollon_spark.ml.dedup import cosine_near_dups_lsh
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_near_dups_lsh(emb, "vec_id", "embedding", threshold=0.2,
-                                n_planes=4, n_bands=4)
+    return cosine_near_dups_lsh(emb, "vec_id", "embedding", threshold=0.4,
+                                n_planes=6, n_bands=8)
 
 
 # --- rows-only queries (non-SQL-expressible; pytest-verified) ---------------

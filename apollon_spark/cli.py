@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--window", default="hamming")
     ap.add_argument("--fps", type=int, default=9000)
     ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--features", default=None,
+                    help="comma-separated battery subset (reference CLI "
+                         "feature-group flags, scripts/apollon:34-49); "
+                         "default = full battery")
     ap.add_argument("--split", action="store_true",
                     help="halo-split skewed long docs")
     ap.add_argument("--buckets", type=int, default=16)
@@ -49,7 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     from .spectral import FeatureConfig, extract_features
     cfg = FeatureConfig(
         framing=FramingParams(args.n_perseg, args.n_overlap),
-        window=args.window, fps=args.fps, causal=args.causal)
+        window=args.window, fps=args.fps, causal=args.causal,
+        features=(tuple(args.features.split(","))
+                  if args.features else None))
 
     if args.stage == "features":
         from .pipeline import run_feature_job

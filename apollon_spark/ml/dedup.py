@@ -12,6 +12,10 @@ shingle -> minhash -> band -> bucket-join pipeline); SimHash gives a
 """
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -296,41 +300,45 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
     """Scale path: sign-hyperplane LSH candidate generation, then exact
     cosine on candidates only. Each band hashes the embedding with
     ``n_planes`` random hyperplanes; a pair is a candidate when it
-    collides in ANY band (union + distinct), so the self-join runs on
-    (band, bucket) keys instead of n^2. Candidate volume is bounded by
-    bucket collisions; raise n_planes to tighten buckets, n_bands to
-    raise recall. Recall is probabilistic (standard SimHash-LSH
-    behavior), exactness only of the final cosine filter."""
-    import numpy as np
+    collides in ANY band, so the self-join runs on (band, bucket) keys
+    instead of n^2. Candidate volume is bounded by bucket collisions;
+    raise n_planes to tighten buckets, n_bands to raise recall. Recall
+    is probabilistic (standard SimHash-LSH behavior), exactness only of
+    the final cosine filter.
+
+    Hot paths are vectorized: ALL band buckets come from one
+    (n_bands*n_planes, dim) matmul per Arrow batch, and candidate
+    scoring is one einsum per batch — no per-row SQL folds."""
+    from pyspark.sql.functions import pandas_udf
+
     dim = len(vectors.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bands, n_planes, dim))
+    planes = rng.standard_normal((n_bands * n_planes, dim))
+    spark = vectors.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_planes)).astype("int64")
 
     v = vectors.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
-    bucketed = []
-    for band in range(n_bands):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(float(c))
-                                  for c in planes[band, p]]),
-                        lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, x: acc + x) >= 0,
-                F.lit(1 << p)).otherwise(F.lit(0))
-            for p in range(n_planes)]
-        bkt = bits[0]
-        for x in bits[1:]:
-            bkt = bkt + x
-        bucketed.append(v.select(
-            "id", "v", F.lit(band).alias("band"), bkt.alias("bkt")))
-    allb = bucketed[0]
-    for x in bucketed[1:]:
-        allb = allb.unionByName(x)
-    a = allb.alias("a")
-    b = allb.alias("b")
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            bits = (x @ pl.T >= 0).reshape(len(pdf), n_bands, n_planes)
+            bkts = bits @ weights                       # (n, n_bands)
+            yield pd.DataFrame({
+                "id": np.repeat(pdf["id"].to_numpy(), n_bands),
+                "v": np.repeat(pdf["v"].to_numpy(), n_bands),
+                "band": np.tile(np.arange(n_bands, dtype="int32"),
+                                len(pdf)),
+                "bkt": bkts.ravel()})
+
+    allb = v.mapInPandas(
+        bucketize, "id long, v array<double>, band int, bkt long")
+    a, b = allb.alias("a"), allb.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bkt") == F.col("b.bkt"))
                    & (F.col("a.id") < F.col("b.id")))
@@ -338,6 +346,15 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
                     F.col("b.id").alias("id_b"),
                     F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
             .dropDuplicates(["id_a", "id_b"]))
-    sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
-    return (cand.select("id_a", "id_b", sim.alias("cos_sim"))
+
+    @pandas_udf("double")
+    def cos_sim(va: pd.Series, vb: pd.Series) -> pd.Series:
+        x = np.stack(va.to_numpy())
+        y = np.stack(vb.to_numpy())
+        dots = np.einsum("ij,ij->i", x, y)
+        return pd.Series(dots / (np.linalg.norm(x, axis=1)
+                                 * np.linalg.norm(y, axis=1)))
+
+    return (cand.select("id_a", "id_b",
+                        F.round(cos_sim("va", "vb"), 6).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold))

@@ -28,9 +28,12 @@ def flux_odf(docs: DataFrame, cfg: FeatureConfig | None = None) -> DataFrame:
     """(doc_id, seg_idx, frame, time, value): total spectral flux with
     the per-doc mean floor (onsets.py:201-216:
     ``value = max(flux, flux.mean())``)."""
+    import dataclasses
     from .operators.framing import FramingParams
     cfg = cfg or FeatureConfig(framing=FramingParams(1024, 512))
-    feats = extract_features(docs, cfg)
+    # the odf only consumes flux — skip the rest of the battery
+    feats = extract_features(
+        docs, dataclasses.replace(cfg, features=("flux",)))
     w = Window.partitionBy("doc_id")
     return (
         feats.select("doc_id", "seg_idx", "center", "ts", "flux")

@@ -33,13 +33,20 @@ from .operators.framing import FramingParams, split_docs_halo
 class FeatureConfig:
     """Parameters of the feature pipeline (reference defaults:
     SegmentationParams 512/256 segment.py:43-44, fft norm
-    spectral.py:60-61)."""
+    spectral.py:60-61).
+
+    ``features``: optional subset of the battery (canonical order of
+    ``FEATURE_COLS``); None = full battery. Mirrors the reference CLI's
+    feature-group flags (scripts/apollon:34-49 --rhythm/--timbre) and
+    skips the kernels the subset doesn't need (e.g. no Bark matmuls
+    unless loudness/sharpness are requested)."""
     framing: FramingParams = FramingParams()
     window: str | None = "hamming"
     n_fft: int | None = None
     norm: bool = True
     fps: int = 9000
     causal: bool = False          # engine extension: zero-leakage framing
+    features: tuple | None = None
     with_entropy: bool = False    # delay-embedding entropy (onsets.py:158-176)
     entropy_delay: int = 10
     entropy_m_dims: int = 3
@@ -67,15 +74,31 @@ OUT_COLS = ["doc_id", "seg_idx", "center", "ts", "energy", "rms", "spl",
             "loudness", "sharpness", "entropy"]
 
 
+def _active_features(cfg: "FeatureConfig") -> list:
+    if cfg.features is None:
+        return list(FEATURE_COLS)
+    bad = set(cfg.features) - set(FEATURE_COLS)
+    if bad:
+        raise ValueError(f"unknown features: {sorted(bad)}")
+    return [f for f in FEATURE_COLS if f in cfg.features]
+
+
 def _schema_and_cols(cfg: "FeatureConfig", split: bool) -> tuple[str, list]:
     """(mapInPandas schema, final output column order) honoring the
-    optional roughness column."""
-    schema = FEATURES_SPLIT_SCHEMA if split else FEATURES_SCHEMA
-    cols = list(OUT_COLS)
+    feature subset and the optional roughness column."""
+    feats = _active_features(cfg)
+    parts = ["doc_id string", "seg_idx int", "center long", "ts double"]
+    for f in feats:
+        if f == "sharpness" and split:
+            parts += ["sharp_num double", "loud_part double"]
+        else:
+            parts.append(f"{f} double")
+    parts.append("entropy double")
+    cols = ["doc_id", "seg_idx", "center", "ts"] + feats + ["entropy"]
     if cfg.with_roughness:
-        schema += ", roughness double"
+        parts.append("roughness double")
         cols.append("roughness")
-    return schema, cols
+    return ", ".join(parts), cols
 
 
 def _battery(segs: np.ndarray, cfg: FeatureConfig,
@@ -156,46 +179,65 @@ def _battery_batched(blocks: list, cfg: FeatureConfig,
     starts, ends = offsets[:-1], offsets[1:]
     segs = np.vstack(blocks)
 
-    mag = kernels.rfft_mag(segs, cfg.window, cfg.n_fft, cfg.norm)
-    cen = kernels.spectral_centroid(frqs, mag)
-    spr = kernels.spectral_spread(frqs, mag, cen)
-    cbrs = mag @ bank.T
-    loud_spec = kernels.specific_loudness(cbrs)
-    z = np.arange(1, 25, dtype="float64")
-    w = np.maximum(1.0, 0.066 * np.exp(0.171 * z))
+    feats = _active_features(cfg)
+    want = set(feats)
+    spectral = want & {"centroid", "spread", "skewness", "kurtosis",
+                       "flux", "fspl", "loudness", "sharpness"}
+    mag = (kernels.rfft_mag(segs, cfg.window, cfg.n_fft, cfg.norm)
+           if spectral or cfg.with_roughness else None)
+    need_spread = want & {"spread", "skewness", "kurtosis"}
+    cen = (kernels.spectral_centroid(frqs, mag)
+           if want & {"centroid", "spread", "skewness", "kurtosis"} else None)
+    spr = kernels.spectral_spread(frqs, mag, cen) if need_spread else None
 
-    flux = kernels.spectral_flux(mag)
-    multi = counts >= 2
-    if segs.shape[0] > 1:
-        one_s = starts[counts == 1]
-        flux[one_s] = 0.0
-        s, e = starts[multi], ends[multi]
-        if s.size:
-            flux[s] = np.maximum((mag[s + 1] - mag[s]) / 1.0, 0.0).sum(axis=1)
-            flux[e - 1] = np.maximum(
-                (mag[e - 1] - mag[e - 2]) / 1.0, 0.0).sum(axis=1)
-
-    out = {
-        "energy": kernels.energy(segs),
-        "rms": kernels.rms(segs),
-        "spl": kernels.spl(segs),
-        "centroid": cen,
-        "spread": spr,
-        "skewness": kernels.spectral_skewness(frqs, mag, cen, spr),
-        "kurtosis": kernels.spectral_kurtosis(frqs, mag, cen, spr),
-        "flux": flux,
-        "fspl": kernels.fspl(mag, total=True),
-        "loudness": loud_spec.sum(axis=1),
-    }
-    sharp_num = cbrs @ (z * w)
-    loud_part = np.maximum(loud_spec, np.finfo("float64").eps).sum(axis=1)
-    if final_sharpness:
-        denoms = np.array([loud_part[s:e].sum()
-                           for s, e in zip(starts, ends)])
-        out["sharpness"] = sharp_num / np.repeat(denoms, counts)
-    else:
-        out["sharp_num"] = sharp_num
-        out["loud_part"] = loud_part
+    out = {}
+    if "energy" in want:
+        out["energy"] = kernels.energy(segs)
+    if "rms" in want:
+        out["rms"] = kernels.rms(segs)
+    if "spl" in want:
+        out["spl"] = kernels.spl(segs)
+    if "centroid" in want:
+        out["centroid"] = cen
+    if "spread" in want:
+        out["spread"] = spr
+    if "skewness" in want:
+        out["skewness"] = kernels.spectral_skewness(frqs, mag, cen, spr)
+    if "kurtosis" in want:
+        out["kurtosis"] = kernels.spectral_kurtosis(frqs, mag, cen, spr)
+    if "flux" in want:
+        flux = kernels.spectral_flux(mag)
+        multi = counts >= 2
+        if segs.shape[0] > 1:
+            one_s = starts[counts == 1]
+            flux[one_s] = 0.0
+            s, e = starts[multi], ends[multi]
+            if s.size:
+                flux[s] = np.maximum(
+                    (mag[s + 1] - mag[s]) / 1.0, 0.0).sum(axis=1)
+                flux[e - 1] = np.maximum(
+                    (mag[e - 1] - mag[e - 2]) / 1.0, 0.0).sum(axis=1)
+        out["flux"] = flux
+    if "fspl" in want:
+        out["fspl"] = kernels.fspl(mag, total=True)
+    if want & {"loudness", "sharpness"}:
+        cbrs = mag @ bank.T
+        loud_spec = kernels.specific_loudness(cbrs)
+        if "loudness" in want:
+            out["loudness"] = loud_spec.sum(axis=1)
+        if "sharpness" in want:
+            z = np.arange(1, 25, dtype="float64")
+            w = np.maximum(1.0, 0.066 * np.exp(0.171 * z))
+            sharp_num = cbrs @ (z * w)
+            loud_part = np.maximum(
+                loud_spec, np.finfo("float64").eps).sum(axis=1)
+            if final_sharpness:
+                denoms = np.array([loud_part[s:e].sum()
+                                   for s, e in zip(starts, ends)])
+                out["sharpness"] = sharp_num / np.repeat(denoms, counts)
+            else:
+                out["sharp_num"] = sharp_num
+                out["loud_part"] = loud_part
     if cfg.with_entropy:
         ent = np.empty(segs.shape[0])
         for i in range(segs.shape[0]):
@@ -332,7 +374,9 @@ def _extract_split(docs: DataFrame, cfg: FeatureConfig,
             yield pd.DataFrame(res)
 
     raw = chunks.mapInPandas(gen, schema)
-    return _finalize_sharpness(raw).select(out_cols)
+    if "sharpness" in _active_features(cfg):
+        raw = _finalize_sharpness(raw)
+    return raw.select(out_cols)
 
 
 def dft_docs(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),

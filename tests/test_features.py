@@ -219,3 +219,32 @@ def test_causal_split_equals_unsplit(spark):
                 "loudness", "sharpness"]:
         np.testing.assert_allclose(a[col], b[col], rtol=1e-12, atol=1e-12,
                                    err_msg=col)
+
+
+def test_feature_subset(spark):
+    """features=(...) restricts columns and values match the full
+    battery; the subset plan still has zero exchanges."""
+    from apollon_spark.datagen import synth_docs
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    docs = synth_docs(spark, 6, whales=False)
+    p = FramingParams(64, 32)
+    full = extract_features(docs, FeatureConfig(framing=p)).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    sub = extract_features(
+        docs, FeatureConfig(framing=p, features=("energy", "flux",
+                                                 "sharpness"))).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    assert list(sub.columns) == ["doc_id", "seg_idx", "center", "ts",
+                                 "energy", "flux", "sharpness", "entropy"]
+    for col in ["energy", "flux", "sharpness"]:
+        np.testing.assert_allclose(sub[col], full[col], rtol=0, atol=0)
+    # split path honors the subset too
+    subs = extract_features(
+        docs, FeatureConfig(framing=p, features=("energy", "flux",
+                                                 "sharpness")),
+        split=True, chunk_segs=4).toPandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    for col in ["energy", "flux", "sharpness"]:
+        np.testing.assert_allclose(subs[col], full[col],
+                                   rtol=1e-12, atol=1e-12)
