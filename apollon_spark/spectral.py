@@ -55,6 +55,10 @@ class FeatureConfig:
     roughness_frq_max: float = 4000.0
 
 
+# per-flush-group stacked-matrix cap, in float64 elements (~128 MB);
+# bounds worker memory no matter how Arrow batches rows
+_FLUSH_ELEMS = 16 * 1024 * 1024
+
 FEATURES_SCHEMA = (
     "doc_id string, seg_idx int, center long, ts double, "
     "energy double, rms double, spl double, centroid double, "
@@ -266,7 +270,7 @@ def _finalize_sharpness(df: DataFrame) -> DataFrame:
 
 
 def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
-                     split: bool = False, chunk_segs: int = 4096) -> DataFrame:
+                     split: bool = False, chunk_segs: int = 1024) -> DataFrame:
     """Per (doc, segment) feature battery.
 
     ``split=False``: one mapInPandas over whole docs — zero shuffles
@@ -288,7 +292,22 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
         frqs = kernels.rfftfreq(n_fft, cfg_b.fps)
         bank = kernels.bark_filter_bank(frqs)
         for pdf in batches:
-            ids, blocks, centers_l = [], [], []
+            ids, blocks, centers_l, tot = [], [], [], 0
+
+            def flush():
+                feats = _battery_batched(blocks, cfg_b, frqs, bank,
+                                         final_sharpness=True)
+                counts = [b.shape[0] for b in blocks]
+                centers = np.concatenate(centers_l)
+                res = {"doc_id": np.repeat(
+                           np.array(ids, dtype=object), counts),
+                       "seg_idx": np.concatenate(
+                           [np.arange(c, dtype="int32") for c in counts]),
+                       "center": centers,
+                       "ts": centers / cfg_b.fps}
+                res.update(feats)
+                return pd.DataFrame(res)[out_cols]
+
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
                 sig = np.asarray(tokens, dtype="float64")
                 if sig.size < n_perseg:
@@ -304,19 +323,15 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
                 ids.append(doc_id)
                 blocks.append(segs)
                 centers_l.append(centers)
-            if not blocks:
-                continue
-            feats = _battery_batched(blocks, cfg_b, frqs, bank,
-                                     final_sharpness=True)
-            counts = [b.shape[0] for b in blocks]
-            centers = np.concatenate(centers_l)
-            res = {"doc_id": np.repeat(np.array(ids, dtype=object), counts),
-                   "seg_idx": np.concatenate(
-                       [np.arange(c, dtype="int32") for c in counts]),
-                   "center": centers,
-                   "ts": centers / cfg_b.fps}
-            res.update(feats)
-            yield pd.DataFrame(res)[out_cols]
+                tot += segs.size
+                # cap the stacked matrix (~128 MB float64): bounds peak
+                # worker memory independent of Arrow row-batch sizing,
+                # so whale batches can't stack multi-GB matrices
+                if tot >= _FLUSH_ELEMS:
+                    yield flush()
+                    ids, blocks, centers_l, tot = [], [], [], 0
+            if blocks:
+                yield flush()
 
     # whole doc per UDF call => sharpness finalized in-UDF: the plan is
     # Scan -> Project -> MapInPandas, ZERO shuffles.
@@ -345,6 +360,22 @@ def _extract_split(docs: DataFrame, cfg: FeatureConfig,
         for pdf in batches:
             ids, blocks, takes, seg_idx_l = [], [], [], []
             base = 0
+
+            def flush():
+                feats = _battery_batched(blocks, cfg_b, frqs, bank)
+                take = np.concatenate(takes)
+                counts = [t.size for t in takes]
+                seg_idx = np.concatenate(seg_idx_l)
+                centers = seg_idx.astype("int64") * step + offset
+                res = {"doc_id": np.repeat(
+                           np.array(ids, dtype=object), counts),
+                       "seg_idx": seg_idx,
+                       "center": centers,
+                       "ts": centers / cfg_b.fps}
+                for key, val in feats.items():
+                    res[key] = val[take]
+                return pd.DataFrame(res)
+
             for row in pdf.itertuples(index=False):
                 sig = np.asarray(row.chunk_tokens, dtype="float64")
                 # chunk tokens were materialized so that plain
@@ -358,20 +389,12 @@ def _extract_split(docs: DataFrame, cfg: FeatureConfig,
                 seg_idx_l.append(np.arange(
                     row.seg_base, row.seg_base + n_local, dtype="int32"))
                 base += segs.shape[0]
-            if not blocks:
-                continue
-            feats = _battery_batched(blocks, cfg_b, frqs, bank)
-            take = np.concatenate(takes)
-            counts = [t.size for t in takes]
-            seg_idx = np.concatenate(seg_idx_l)
-            centers = seg_idx.astype("int64") * step + offset
-            res = {"doc_id": np.repeat(np.array(ids, dtype=object), counts),
-                   "seg_idx": seg_idx,
-                   "center": centers,
-                   "ts": centers / cfg_b.fps}
-            for key, val in feats.items():
-                res[key] = val[take]
-            yield pd.DataFrame(res)
+                if base * n_perseg >= _FLUSH_ELEMS:
+                    yield flush()
+                    ids, blocks, takes, seg_idx_l = [], [], [], []
+                    base = 0
+            if blocks:
+                yield flush()
 
     raw = chunks.mapInPandas(gen, schema)
     if "sharpness" in _active_features(cfg):

@@ -47,7 +47,15 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
     if n_docs is None:
         n_docs = int(os.environ.get("BENCH_DOCS", 0)) or max(
             256, int(4000 * sf))
-    docs = synth_docs(spark, n_docs, whales=True).cache()
+    docs = synth_docs(spark, n_docs, whales=True)
+    # executor-shard mode (bench_scaling 4N level): "k:m" keeps the
+    # k-th of m disjoint crc32(doc_id) shards — each concurrently
+    # running process plays one executor of an m-executor cluster
+    shard = os.environ.get("BENCH_SHARD")
+    if shard:
+        k, m = (int(x) for x in shard.split(":"))
+        docs = docs.where(F.pmod(F.crc32(F.col("doc_id")), m) == k)
+    docs = docs.cache()
     total_docs = docs.count()          # materialize generation off the clock
     cfg = FeatureConfig(framing=FramingParams(512, 256))
     # warm the Python UDF workers off the clock (a real cluster's
@@ -61,7 +69,7 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
     whales = docs.where(F.col("n_tok") >= 65_536)
     rest = docs.where(F.col("n_tok") < 65_536)
     out_fast = extract_features(rest, cfg, split=False)
-    out_split = extract_features(whales, cfg, split=True, chunk_segs=512)
+    out_split = extract_features(whales, cfg, split=True, chunk_segs=256)
     union = out_fast.unionByName(out_split)
 
     # best-of-N: this box shows multi-second JVM stalls (GC/heap

@@ -100,3 +100,49 @@ def test_asof_no_match_rows_survive(spark):
         assert len(got) == 2
         assert np.isnan(got.iloc[0]["rval"])
         assert got.iloc[1]["rval"] == 9.0
+
+
+# ---------------------------------------------------------------------------
+# Property-based: strategies agree on adversarial inputs (ties,
+# negatives, bucket-boundary collisions, empty sides)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    lts=st.lists(st.integers(-50, 50), min_size=1, max_size=25),
+    rts=st.lists(st.integers(-50, 50), min_size=0, max_size=25),
+    width=st.sampled_from([1.0, 7.0, 25.0, 1000.0]),
+    allow_exact=st.booleans(),
+    data=st.data(),
+)
+def test_asof_strategies_agree_property(spark, lts, rts, width,
+                                        allow_exact, data):
+    keys = ["a", "b"]
+    lpdf = pd.DataFrame({
+        "key": [keys[i % 2] for i in range(len(lts))],
+        "t": np.array(lts, dtype="int64"),
+        "eid": np.arange(len(lts), dtype="int64")})
+    rpdf = pd.DataFrame({
+        "key": [keys[i % 2] for i in range(len(rts))],
+        "rt": np.array(rts, dtype="int64"),
+        "rval": np.arange(len(rts), dtype="float64")})
+    # dedupe (key, rt): with timestamp ties the as-of "latest" row is
+    # ambiguous and strategies may legitimately pick different rows
+    rpdf = rpdf.drop_duplicates(["key", "rt"])
+    l = spark.createDataFrame(lpdf)
+    r = spark.createDataFrame(rpdf) if len(rpdf) else \
+        spark.createDataFrame(rpdf, schema="key string, rt long, rval double")
+    frames = {}
+    for strat, kw in [("union", {}), ("bucketed", {"bucket_width": width}),
+                      ("pandas", {})]:
+        out = asof_join(l, r, on="t", right_on="rt", by="key",
+                        allow_exact=allow_exact, strategy=strat, **kw)
+        frames[strat] = out.toPandas().sort_values(["key", "t", "eid"]) \
+            .reset_index(drop=True)[["key", "t", "eid", "rval"]]
+    pd.testing.assert_frame_equal(frames["union"], frames["pandas"])
+    pd.testing.assert_frame_equal(frames["bucketed"], frames["pandas"])
