@@ -375,6 +375,17 @@ def _q_onset_gather(spark, sf_dir):
     return gathered.select("doc_id", "frame", wsum.alias("wsum"))
 
 
+def _q_extend_energy(spark, sf_dir):
+    """Extend+pad framing (the trickiest Segmentation corner,
+    segment.py:207-216) verified end-to-end: per-segment energy on the
+    extended grid, oracle re-derives the padded slices in pure SQL."""
+    from apollon_spark.operators.framing import FramingParams, segment_docs
+    p = FramingParams(32, 16, True, True)
+    segs = segment_docs(_docs(spark, sf_dir), p)
+    energy = F.aggregate("frame", F.lit(0.0), lambda a, x: a + x * x)
+    return segs.select("doc_id", "seg_idx", "center", energy.alias("energy"))
+
+
 def _q_cosine_neardup(spark, sf_dir):
     from apollon_spark.ml.dedup import cosine_near_dups
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -506,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": _q_join_revenue,
         "onset_gather": _q_onset_gather,
         "cosine_neardup": _q_cosine_neardup,
+        "extend_energy": _q_extend_energy,
         # rows-only (non-SQL-expressible; pytest parity instead)
         "features_battery": _q_features_battery,
         "features_split": _q_features_split,
@@ -951,5 +963,25 @@ sims AS (
   FROM p GROUP BY id_a, id_b
 )
 SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.2
+""",
+        "extend_energy": f"""
+{_W},
+p AS (
+  SELECT doc_id, n_tok,
+         ((32 - n_tok) % 16 + 16) % 16 AS pad_len,
+         list_concat(list_concat([0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0], tokens),
+             list_transform(range(0, 16 + ((32 - n_tok) % 16 + 16) % 16),
+                            i -> 0)) AS padded
+  FROM docs WHERE n_tok >= 32
+),
+segs AS (
+  SELECT doc_id, unnest(range(0, (n_tok + 16 + pad_len) // 16)) AS seg_idx,
+         padded FROM p
+)
+SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+       CAST(seg_idx * 16 AS BIGINT) AS center,
+       CAST(list_sum(list_transform(padded[seg_idx*16+1 : seg_idx*16+32],
+            x -> CAST(x AS BIGINT) * x)) AS DOUBLE) AS energy
+FROM segs
 """,
     }
