@@ -93,3 +93,32 @@ def stream_peak_picker(odf_stream: DataFrame) -> DataFrame:
             .applyInPandasWithState(
                 _peak_fn, PEAK_OUT_SCHEMA, PEAK_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_windowed_agg(events: DataFrame, ts_col: str = "ts",
+                        value_col: str = "value",
+                        window_dur: str = "5 minutes",
+                        slide: str | None = None,
+                        watermark: str = "10 minutes",
+                        by: str | None = None) -> DataFrame:
+    """Event-time windowed aggregation with a watermark for late data
+    (SURVEY §2.10: the streaming face of the batch tumbling/sliding
+    count-windows). Late rows beyond ``watermark`` are dropped and the
+    window state is evicted — bounded state on unbounded input.
+
+    Works on a streaming OR batch ``events`` frame (batch ignores the
+    watermark, same results — tested equal to the batch tumbling agg).
+    """
+    from pyspark.sql import functions as F
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        ev = ev.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window_dur, slide or window_dur)
+    keys = [win] + ([F.col(by)] if by else [])
+    return (ev.groupBy(*keys)
+            .agg(F.count("*").alias("n"),
+                 F.sum(value_col).alias("val_sum"),
+                 F.avg(value_col).alias("val_avg"))
+            .select(F.col("window.start").alias("win_start"),
+                    F.col("window.end").alias("win_end"),
+                    *([by] if by else []), "n", "val_sum", "val_avg"))
