@@ -336,22 +336,26 @@ def roughness_helmholtz(d_frq: float, mag: np.ndarray, frq_max: float,
     kernel = base / (frm * np.exp(-1.0)) * np.exp(-base / frm)
 
     k = kernel.size
-    out = np.empty((mag.shape[0], k))
-    for i in range(mag.shape[0]):
-        sl = mag[i, :k].astype("float64").copy()
-        mx = sl.max()
-        if mx > 0:
-            sl /= mx
-        sl[sl < 0.1] = 0.0
-        rns = np.correlate(sl, sl, mode="full")
-        rns = rns[rns.size // 2:]
-        rns[0] = 0.0
-        rmx = rns.max()
-        if rmx > 0:
-            rns = rns / rmx
-            out[i] = rns * kernel / (rns > 0.2).sum()
-        else:
-            out[i] = rns * kernel
+    sl = mag[:, :k].astype("float64").copy()
+    mx = sl.max(axis=1)
+    pos = mx > 0
+    sl[pos] /= mx[pos, None]
+    sl[sl < 0.1] = 0.0
+    # batched FFT autocorrelation == np.correlate(sl, sl, 'full')[k-1:]
+    # (zero-padding to >= 2k-1 makes circular == linear; the reference
+    # itself goes through scipy's FFT path for this size). One rfft
+    # pass for ALL segments instead of a per-segment Python loop.
+    n_fft = 2 * k - 1
+    spec = np.fft.rfft(sl, n_fft, axis=1)
+    rns = np.fft.irfft(spec * np.conj(spec), n_fft, axis=1)[:, :k]
+    rns[:, 0] = 0.0
+    rmx = rns.max(axis=1)
+    rpos = rmx > 0
+    rns[rpos] /= rmx[rpos, None]
+    counts = (rns > 0.2).sum(axis=1).astype("float64")
+    out = rns * kernel
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out[rpos] = out[rpos] / counts[rpos, None]
     if total:
         return out.sum(axis=1)
     return out

@@ -157,4 +157,7 @@ def test_roughness_kernel_reference_semantics():
             want = rns * kern / (rns > 0.2).sum()
         else:
             want = rns * kern
-        np.testing.assert_allclose(got[i], want, rtol=1e-10)
+        # atol: the batched FFT autocorrelation leaves ~1e-18 residue
+        # where the direct product is exactly 0 (the reference's scipy
+        # correlate picks the same FFT path at this size)
+        np.testing.assert_allclose(got[i], want, rtol=1e-10, atol=1e-15)
