@@ -338,14 +338,22 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
 
     allb = v.mapInPandas(
         bucketize, "id long, v array<double>, band int, bkt long")
-    a, b = allb.alias("a"), allb.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bkt") == F.col("b.bkt"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-            .dropDuplicates(["id_a", "id_b"]))
+    # candidate mining on (id, band, bkt) ONLY — shuffling the vector
+    # payloads through the join + dedup would move ~16x the bytes; the
+    # vectors are joined back just once per unique pair
+    ids = allb.select("id", "band", "bkt")
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkt") == F.col("b.bkt"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    cand = (pairs
+            .join(v.select(F.col("id").alias("id_a"),
+                           F.col("v").alias("va")), "id_a")
+            .join(v.select(F.col("id").alias("id_b"),
+                           F.col("v").alias("vb")), "id_b"))
 
     @pandas_udf("double")
     def cos_sim(va: pd.Series, vb: pd.Series) -> pd.Series:
