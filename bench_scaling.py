@@ -69,10 +69,10 @@ def _bench_cmd(lo: int, hi: int) -> list:
     return _taskset(lo, hi, [sys.executable, os.path.join(HERE, "bench.py")])
 
 
-def _env(n_docs: int, shard: str | None) -> dict:
+def _env(n_docs: int, shard: str | None, mem: str = "12g") -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(EXEC_CORES),
-               SPARK_DRIVER_MEM="12g",
+               SPARK_DRIVER_MEM=mem,
                BENCH_MODE="features",
                BENCH_DOCS=str(n_docs))
     if shard:
