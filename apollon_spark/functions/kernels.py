@@ -349,6 +349,12 @@ def roughness_helmholtz(d_frq: float, mag: np.ndarray, frq_max: float,
     spec = np.fft.rfft(sl, n_fft, axis=1)
     rns = np.fft.irfft(spec * np.conj(spec), n_fft, axis=1)[:, :k]
     rns[:, 0] = 0.0
+    # the direct autocorrelation of the thresholded spectrum is either
+    # exactly 0 or >= 0.1*0.1 per product; the FFT path leaves ~1e-17
+    # residue where the truth is 0, which must NOT be normalized to 1
+    # (a single-surviving-bin segment would turn roundoff noise into
+    # O(kernel)-magnitude roughness)
+    rns[np.abs(rns) < 1e-9] = 0.0
     rmx = rns.max(axis=1)
     rpos = rmx > 0
     rns[rpos] /= rmx[rpos, None]

@@ -270,12 +270,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, arr_col: str, k: int,
 
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<double>`` columns in pure array
-    SQL (JVM-side fold, no Python): dot / (|a| * |b|)."""
+    SQL (JVM-side fold, no Python): dot / (|a| * |b|). Zero-norm
+    vectors yield 0.0 (under ANSI mode a bare division would abort the
+    whole job on one degenerate row)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def cosine_near_dups(vectors: DataFrame, id_col: str, vec_col: str,
@@ -311,37 +314,34 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
     scoring is one einsum per batch — no per-row SQL folds."""
     from pyspark.sql.functions import pandas_udf
 
-    dim = len(vectors.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bands * n_planes, dim))
-    spark = vectors.sparkSession
-    bp = spark.sparkContext.broadcast(planes)
     weights = (1 << np.arange(n_planes)).astype("int64")
 
     v = vectors.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pl = bp.value
+        # hyperplanes derived per-worker from (seed, dim) — identical
+        # everywhere, no driver-side first() job, and an empty input
+        # just yields nothing
+        pl = None
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf["v"].to_numpy())
+            if pl is None:
+                pl = np.random.default_rng(seed).standard_normal(
+                    (n_bands * n_planes, x.shape[1]))
             bits = (x @ pl.T >= 0).reshape(len(pdf), n_bands, n_planes)
             bkts = bits @ weights                       # (n, n_bands)
+            # keys only: the vector payloads stay out of the candidate
+            # join/dedup shuffles and are joined back once per pair
             yield pd.DataFrame({
                 "id": np.repeat(pdf["id"].to_numpy(), n_bands),
-                "v": np.repeat(pdf["v"].to_numpy(), n_bands),
                 "band": np.tile(np.arange(n_bands, dtype="int32"),
                                 len(pdf)),
                 "bkt": bkts.ravel()})
 
-    allb = v.mapInPandas(
-        bucketize, "id long, v array<double>, band int, bkt long")
-    # candidate mining on (id, band, bkt) ONLY — shuffling the vector
-    # payloads through the join + dedup would move ~16x the bytes; the
-    # vectors are joined back just once per unique pair
-    ids = allb.select("id", "band", "bkt")
+    ids = v.mapInPandas(bucketize, "id long, band int, bkt long")
     a, b = ids.alias("a"), ids.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bkt") == F.col("b.bkt"))
@@ -360,8 +360,12 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
         x = np.stack(va.to_numpy())
         y = np.stack(vb.to_numpy())
         dots = np.einsum("ij,ij->i", x, y)
-        return pd.Series(dots / (np.linalg.norm(x, axis=1)
-                                 * np.linalg.norm(y, axis=1)))
+        denom = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        # zero-norm vectors -> 0.0, never NaN (Spark orders NaN ABOVE
+        # every number, so a NaN would pass any >= threshold filter)
+        out = np.zeros(len(dots))
+        np.divide(dots, denom, out=out, where=denom > 0)
+        return pd.Series(out)
 
     return (cand.select("id_a", "id_b",
                         F.round(cos_sim("va", "vb"), 6).alias("cos_sim"))

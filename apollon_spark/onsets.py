@@ -140,7 +140,7 @@ def _detect_onsets_fused(docs: DataFrame, cfg: FeatureConfig,
     """Flux onset detector fused into a single vectorized stage."""
     p = cfg.framing
     n_perseg, n_overlap = p.n_perseg, p.n_overlap
-    extend, pad = p.extend, p.pad
+    extend, pad, causal = p.extend, p.pad, cfg.causal
     window, n_fft_c, norm, fps = cfg.window, cfg.n_fft, cfg.norm, cfg.fps
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -150,10 +150,14 @@ def _detect_onsets_fused(docs: DataFrame, cfg: FeatureConfig,
                 sig = np.asarray(tokens, dtype="float64")
                 if sig.size < n_perseg:
                     continue
-                segs = kernels.frame_signal(
-                    sig, n_perseg, n_overlap, extend, pad)
-                centers = kernels.segment_centers(
-                    segs.shape[0], n_perseg, n_overlap, extend)
+                if causal:
+                    segs, centers = kernels.causal_frame_signal(
+                        sig, n_perseg, n_overlap)
+                else:
+                    segs = kernels.frame_signal(
+                        sig, n_perseg, n_overlap, extend, pad)
+                    centers = kernels.segment_centers(
+                        segs.shape[0], n_perseg, n_overlap, extend)
                 mag = kernels.rfft_mag(segs, window, n_fft_c, norm)
                 flux = kernels.spectral_flux(mag)
                 value = np.maximum(flux, flux.mean())

@@ -59,17 +59,6 @@ class FeatureConfig:
 # bounds worker memory no matter how Arrow batches rows
 _FLUSH_ELEMS = 16 * 1024 * 1024
 
-FEATURES_SCHEMA = (
-    "doc_id string, seg_idx int, center long, ts double, "
-    "energy double, rms double, spl double, centroid double, "
-    "spread double, skewness double, kurtosis double, flux double, "
-    "fspl double, loudness double, sharpness double, entropy double"
-)
-
-# split path emits partial sharpness terms instead and finalizes in SQL
-FEATURES_SPLIT_SCHEMA = FEATURES_SCHEMA.replace(
-    "sharpness double", "sharp_num double, loud_part double")
-
 FEATURE_COLS = ["energy", "rms", "spl", "centroid", "spread", "skewness",
                 "kurtosis", "flux", "fspl", "loudness", "sharpness"]
 
@@ -105,63 +94,11 @@ def _schema_and_cols(cfg: "FeatureConfig", split: bool) -> tuple[str, list]:
     return ", ".join(parts), cols
 
 
-def _battery(segs: np.ndarray, cfg: FeatureConfig,
-             frqs: np.ndarray, bank: np.ndarray,
-             final_sharpness: bool = False) -> dict[str, np.ndarray]:
-    """All per-segment features from one rfft pass. ``segs`` is
-    (n_segs, n_perseg) including any halo rows; flux is computed over
-    the full extent and callers trim halos afterwards.
-
-    ``final_sharpness``: when the caller holds the doc's FULL
-    spectrogram (fast path), divide by the whole-doc denominator here —
-    no shuffle needed downstream. Split callers get the partial terms
-    (sharp_num, loud_part) instead and finalize with a window sum."""
-    mag = kernels.rfft_mag(segs, cfg.window, cfg.n_fft, cfg.norm)
-    cen = kernels.spectral_centroid(frqs, mag)
-    spr = kernels.spectral_spread(frqs, mag, cen)
-    cbrs = mag @ bank.T
-    loud_spec = kernels.specific_loudness(cbrs)
-    z = np.arange(1, 25, dtype="float64")
-    w = np.maximum(1.0, 0.066 * np.exp(0.171 * z))
-    out = {
-        "energy": kernels.energy(segs),
-        "rms": kernels.rms(segs),
-        "spl": kernels.spl(segs),
-        "centroid": cen,
-        "spread": spr,
-        "skewness": kernels.spectral_skewness(frqs, mag, cen, spr),
-        "kurtosis": kernels.spectral_kurtosis(frqs, mag, cen, spr),
-        "flux": kernels.spectral_flux(mag),
-        "fspl": kernels.fspl(mag, total=True),
-        "loudness": loud_spec.sum(axis=1),
-    }
-    sharp_num = cbrs @ (z * w)
-    loud_part = np.maximum(loud_spec, np.finfo("float64").eps).sum(axis=1)
-    if final_sharpness:
-        out["sharpness"] = sharp_num / loud_part.sum()
-    else:
-        out["sharp_num"] = sharp_num
-        out["loud_part"] = loud_part
-    if cfg.with_entropy:
-        ent = np.empty(segs.shape[0])
-        for i in range(segs.shape[0]):
-            emb = kernels.delay_embedding(
-                segs[i], cfg.entropy_delay, cfg.entropy_m_dims)
-            ent[i] = kernels.embedding_entropy(emb, cfg.entropy_bins)
-        out["entropy"] = ent
-    else:
-        out["entropy"] = np.full(segs.shape[0], np.nan)
-    if cfg.with_roughness:
-        d_frq = frqs[1] - frqs[0] if frqs.size > 1 else 1.0
-        out["roughness"] = kernels.roughness_helmholtz(
-            d_frq, mag, cfg.roughness_frq_max, total=True)
-    return out
-
-
 def _battery_batched(blocks: list, cfg: FeatureConfig,
                      frqs: np.ndarray, bank: np.ndarray,
                      final_sharpness: bool = False) -> dict[str, np.ndarray]:
-    """``_battery`` over MANY docs/chunks stacked into one matrix — one
+    """The full per-segment battery over MANY docs/chunks stacked into
+    one matrix — one
     rfft call and one pass of row-wise kernels per Arrow batch instead
     of per doc (the per-doc overhead dominates on short-doc corpora,
     which is the 10^12-sequence shape).

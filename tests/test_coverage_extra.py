@@ -161,3 +161,16 @@ def test_roughness_kernel_reference_semantics():
         # where the direct product is exactly 0 (the reference's scipy
         # correlate picks the same FFT path at this size)
         np.testing.assert_allclose(got[i], want, rtol=1e-10, atol=1e-15)
+
+
+def test_roughness_single_bin_no_noise_blowup():
+    """A spectrum whose thresholded slice keeps one bin has zero
+    autocorrelation at every nonzero lag; the batched FFT path must not
+    normalize its ~1e-17 roundoff residue into O(1) garbage."""
+    mag = np.zeros((2, 257))
+    mag[0, 5] = 3.0                  # single surviving bin
+    mag[1, 3] = 2.0
+    mag[1, 40] = 2.0                 # two bins -> genuine autocorr
+    out = kernels.roughness_helmholtz(17.58, mag, 4000.0, total=False)
+    np.testing.assert_allclose(out[0], 0.0, atol=1e-12)
+    assert np.abs(out[1]).max() > 0

@@ -144,3 +144,22 @@ def test_cosine_near_dups_exact_and_lsh(spark):
     assert got_lsh <= got              # no false positives after filter
     if want:
         assert len(got_lsh) / len(want) >= 0.5   # recall at 8 bands
+
+
+def test_cosine_near_dups_zero_norm_vectors(spark):
+    """Zero-norm embeddings must neither crash (ANSI divide-by-zero)
+    nor surface as NaN near-dups (NaN > any threshold in Spark)."""
+    import pandas as pd
+    from apollon_spark.ml import dedup as dd
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[0.0, 0.0], [0.0, 0.0], [1.0, 2.0], [2.0, 4.0]]})
+    df = spark.createDataFrame(pdf)
+    exact = dd.cosine_near_dups(df, "vec_id", "embedding", 0.5).toPandas()
+    got = {(int(r.id_a), int(r.id_b)) for _, r in exact.iterrows()}
+    assert got == {(2, 3)}            # zero-norm pairs excluded, no crash
+    lsh = dd.cosine_near_dups_lsh(df, "vec_id", "embedding", 0.5,
+                                  n_planes=2, n_bands=8).toPandas()
+    got_lsh = {(int(r.id_a), int(r.id_b)) for _, r in lsh.iterrows()}
+    assert got_lsh <= {(2, 3)}
+    assert not lsh["cos_sim"].isna().any()

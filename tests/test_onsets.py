@@ -91,3 +91,17 @@ def test_log_attack_time_runs(spark):
     out = log_attack_time(docs, ons, fps=9000, wlen=0.05).toPandas()
     assert len(out) == 4
     assert np.isfinite(out["log_attack_time"]).all()
+
+
+def test_fused_equals_composed_causal(spark):
+    """The fused fast path must honor causal framing (regression: it
+    silently framed non-causally)."""
+    docs = synth_docs_bursts(spark, 3, n_tok=4096, n_bursts=3,
+                             burst_len=512)
+    cfg = FeatureConfig(framing=FramingParams(128, 64), causal=True)
+    kw = dict(n_before=3, n_after=3, delta=0.05)
+    fused = detect_onsets(docs, cfg, fused=True, **kw).toPandas() \
+        .sort_values(["doc_id", "frame"]).reset_index(drop=True)
+    comp = detect_onsets(docs, cfg, fused=False, **kw).toPandas() \
+        .sort_values(["doc_id", "frame"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fused, comp)
