@@ -207,10 +207,13 @@ def _q_minhash(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    from apollon_spark.ml.dedup import simhash_col
+    # batched-numpy hot path (same int arithmetic as simhash_col,
+    # tested equal in tests/test_dedup.py); the SQL form backs the
+    # DuckDB oracle
+    from apollon_spark.ml.dedup import simhash_docs
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", simhash_col(F.col("tokens"), _SIMHASH_BITS).alias("simhash"))
+    return simhash_docs(docs, _SIMHASH_BITS) \
+        .select("doc_id", F.col("sh").alias("simhash"))
 
 
 def _q_jaccard_pairs(spark, sf_dir):
@@ -418,9 +421,27 @@ def _q_features_split(spark, sf_dir):
 
 
 def _q_hmm(spark, sf_dir):
+    # long-form scalar output (driver canonicalizer sorts all columns,
+    # so no array cells): one row per (doc, state_i, state_j) carrying
+    # lambda_i, delta_i, gamma_ij and the per-doc fit stats
     from apollon_spark.hmm import fit_hmm_docs
     docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 20)
-    return fit_hmm_docs(docs, m_states=2, max_iter=100)
+    fits = fit_hmm_docs(docs, m_states=2, max_iter=100)
+    return (
+        fits.select(
+            "doc_id", "m_states", "nll", "aic", "bic", "n_iter", "success",
+            "lambda", "delta",
+            F.posexplode_outer("gamma").alias("state_i", "gamma_row"))
+        .select(
+            "doc_id", "m_states", "state_i",
+            F.round(F.element_at("lambda", F.col("state_i") + 1), 6)
+            .alias("lambda_i"),
+            F.round(F.element_at("delta", F.col("state_i") + 1), 6)
+            .alias("delta_i"),
+            F.round("nll", 6).alias("nll"), F.round("aic", 6).alias("aic"),
+            F.round("bic", 6).alias("bic"), "n_iter", "success",
+            F.posexplode_outer("gamma_row").alias("state_j", "gamma_ij"))
+        .withColumn("gamma_ij", F.round("gamma_ij", 6)))
 
 
 def _q_onsets(spark, sf_dir):
@@ -455,9 +476,15 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    # scalar long form for the driver canonicalizer: one row per
+    # (media_id, dim_idx) instead of an array<double> cell
     from apollon_spark.ml.multimodal import extract_media_features, synth_media
     media = synth_media(spark, 32)
-    return extract_media_features(media, dim=8)
+    feats = extract_media_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind",
+        F.posexplode("feature").alias("dim_idx", "value")) \
+        .withColumn("value", F.round("value", 9))
 
 
 def _q_nonlinear(spark, sf_dir):

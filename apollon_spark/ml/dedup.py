@@ -40,14 +40,23 @@ def hash_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Keep the smallest id per distinct content value; one
-    hash-shuffle on the content hash (not the full content when wide).
-    Returns the surviving rows plus ``dup_count``."""
+    """Keep the smallest id per distinct content value; returns the
+    surviving rows plus ``dup_count``.
+
+    Scale shape: groups and joins on ``sha2(content, 256)`` — a
+    32-byte key — so the shuffles never carry the raw content (at
+    100 TB a groupBy on the text column would shuffle the whole corpus
+    twice). 256-bit collisions are negligible (~2^-128 at any corpus
+    size); the raw content survives only in the final projection."""
+    key = F.unhex(F.sha2(F.col(content_col).cast("string"), 256))
+    hashed = df.withColumn("__content_h", key)
     groups = (
-        df.groupBy(content_col)
+        hashed.select("__content_h", id_col)
+        .groupBy("__content_h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
     )
-    return df.join(groups, [content_col, id_col], "inner")
+    return (hashed.join(groups, ["__content_h", id_col], "inner")
+            .drop("__content_h"))
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +224,34 @@ def simhash_col(arr: Column, n_bits: int = 32) -> Column:
     return out.cast("long")
 
 
+def simhash_docs(docs: DataFrame, n_bits: int = 32, id_col: str = "doc_id",
+                 arr_col: str = "tokens") -> DataFrame:
+    """(id, sh) SimHash fingerprints — Arrow-vectorized numpy kernel
+    with exactly the same integer arithmetic as ``simhash_col``
+    (tested equal). The SQL form runs n_bits interpreted
+    ``F.aggregate`` folds per row (Catalyst HOFs are CodegenFallback,
+    the same 20-100x penalty measured for minhash); this is the hot
+    path, ``simhash_col`` remains for SQL composition and the
+    oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(n_bits, dtype=np.int64)
+        for pdf in batches:
+            ids, shs = [], []
+            for rid, toks in zip(pdf[id_col], pdf[arr_col]):
+                t = np.asarray(toks, dtype=np.int64)
+                mixed = (t * 2_654_435_761) % 4_294_967_296
+                bits = (mixed[:, None] >> shifts) & 1        # (n, n_bits)
+                votes = (2 * bits - 1).sum(axis=0)
+                sh = int(((votes > 0).astype(np.int64) << shifts).sum())
+                ids.append(rid)
+                shs.append(sh)
+            yield pd.DataFrame({id_col: ids, "sh": shs})
+
+    return docs.select(id_col, arr_col).mapInPandas(
+        gen, f"{id_col} string, sh long")
+
+
 def hamming_distance_col(a: Column, b: Column, n_bits: int = 32) -> Column:
     """Popcount of XOR via bit_count."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -227,7 +264,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` of
     the fingerprint (scale path; near dups rarely differ in the prefix),
     verify Hamming distance within buckets."""
-    sh = docs.select(id_col, simhash_col(F.col(arr_col), n_bits).alias("sh"))
+    sh = simhash_docs(docs, n_bits, id_col, arr_col)
     bucketed = sh.withColumn(
         "bkt", F.shiftright("sh", n_bits - prefix_bits))
     a, b = bucketed.alias("a"), bucketed.alias("b")

@@ -26,6 +26,25 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(norms, 1e-30)
 
 
+def _cos_sim_udf():
+    """Arrow-batched cosine: one einsum per batch, zero-norm -> 0.0
+    (never NaN — Spark orders NaN above every number, so a NaN would
+    outrank every true neighbor)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_sim(va: pd.Series, vb: pd.Series) -> pd.Series:
+        x = np.stack(va.to_numpy()).astype("float64")
+        y = np.stack(vb.to_numpy()).astype("float64")
+        dots = np.einsum("ij,ij->i", x, y)
+        denom = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        out = np.zeros(len(dots))
+        np.divide(dots, denom, out=out, where=denom > 0)
+        return pd.Series(out)
+
+    return cos_sim
+
+
 def _score_stage(vectors: DataFrame, id_col: str, vec_col: str,
                  queries: np.ndarray, q_ids: np.ndarray) -> DataFrame:
     """(id, q_id, sim) for every row x query — vectorized cosine."""
@@ -108,32 +127,50 @@ def lsh_bucket_stage(vectors: DataFrame, planes: np.ndarray,
 def lsh_ann_topk(vectors: DataFrame, queries: np.ndarray,
                  q_ids: np.ndarray, k: int = 10, n_planes: int = 8,
                  seed: int = 11, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 multiprobe: bool = True) -> DataFrame:
     """Approximate top-k: rows and queries bucket by hyperplane signs;
-    exact cosine re-rank only inside the query's bucket."""
+    exact cosine re-rank only inside the probed buckets.
+
+    Multi-probe (default): each query probes its own bucket plus all
+    Hamming-1 neighbors (flip one sign bit), raising recall when the
+    query sits near a hyperplane, for n_planes+1 bucket keys per query
+    instead of 1 — still an equi-join, never a product.
+
+    Scale shape: candidate generation runs on (id, bucket) keys only;
+    vectors join in once per surviving candidate, and scoring is one
+    einsum per Arrow batch (no interpreted SQL folds)."""
     dim = queries.shape[1]
     planes = hyperplanes(dim, n_planes, seed)
     buckets = lsh_bucket_stage(vectors, planes, id_col, vec_col)
     qn = _normalize(np.asarray(queries, "float64"))
-    q_buckets = ((qn @ planes.T) > 0) @ (1 << np.arange(n_planes)).astype("int64")
+    weights = (1 << np.arange(n_planes)).astype("int64")
+    q_buckets = ((qn @ planes.T) > 0) @ weights
 
     spark = vectors.sparkSession
+    probe_rows = []
+    for i in range(len(qn)):
+        qid, base = int(q_ids[i]), int(q_buckets[i])
+        probe_rows.append((qid, base))
+        if multiprobe:
+            probe_rows.extend((qid, base ^ (1 << b)) for b in range(n_planes))
+    probes = spark.createDataFrame(probe_rows, "q_id long, q_bucket long")
     qdf = spark.createDataFrame(
-        pd.DataFrame({"q_id": q_ids, "q_bucket": q_buckets,
-                      "q_vec": list(qn)}))
-    bkt = buckets.withColumnRenamed("id", "bid")
-    cand = (vectors.select(F.col(id_col).alias("id"), vec_col)
-            .join(bkt, F.col("id") == F.col("bid")).drop("bid")
-            .join(F.broadcast(qdf), F.col("bucket") == F.col("q_bucket")))
-    dot = F.aggregate(
-        F.zip_with(vec_col, "q_vec", lambda a, b: a.cast("double") * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    norm = F.sqrt(F.aggregate(
-        F.transform(vec_col, lambda a: a.cast("double") * a),
-        F.lit(0.0), lambda acc, x: acc + x))
-    scored = cand.select(
-        "q_id", "id",
-        (dot / F.when(norm > 0, norm).otherwise(F.lit(1.0))).alias("sim"))
+        [(int(q_ids[i]), qn[i].tolist()) for i in range(len(qn))],
+        "q_id long, q_vec array<double>")
+
+    # keys-only candidate mining: the embedding payloads never enter
+    # the bucket join or the dedup shuffle
+    cand_keys = (buckets
+                 .join(F.broadcast(probes),
+                       F.col("bucket") == F.col("q_bucket"))
+                 .select("q_id", "id").dropDuplicates(["q_id", "id"]))
+    cand = (cand_keys
+            .join(vectors.select(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("v")), "id")
+            .join(F.broadcast(qdf), "q_id"))
+    cos_sim = _cos_sim_udf()
+    scored = cand.select("q_id", "id", cos_sim("v", "q_vec").alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -193,25 +230,22 @@ def ivf_topk(vectors: DataFrame, queries: np.ndarray, q_ids: np.ndarray,
         (int(q_ids[i]), int(c)) for i in range(len(qn))
         for c in np.argsort(dq[i])[:n_probe]
     ]
-    probes = spark.createDataFrame(
-        pd.DataFrame(probe_rows, columns=["q_id", "list_id"]))
+    probes = spark.createDataFrame(probe_rows, "q_id long, list_id int")
+    qnn = _normalize(qn)
     qdf = spark.createDataFrame(
-        pd.DataFrame({"q_id": q_ids, "q_vec": list(_normalize(qn))}))
+        [(int(q_ids[i]), qnn[i].tolist()) for i in range(len(qnn))],
+        "q_id long, q_vec array<double>")
 
-    lst = lists.withColumnRenamed("id", "lid")
-    cand = (vectors.select(F.col(id_col).alias("id"), vec_col)
-            .join(lst, F.col("id") == F.col("lid")).drop("lid")
-            .join(F.broadcast(probes), "list_id")
+    # keys-only candidate mining (each row sits in exactly one list and
+    # probe lists are distinct per query, so no dedup needed)
+    cand_keys = (lists.join(F.broadcast(probes), "list_id")
+                 .select("q_id", "id"))
+    cand = (cand_keys
+            .join(vectors.select(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("v")), "id")
             .join(F.broadcast(qdf), "q_id"))
-    dot = F.aggregate(
-        F.zip_with(vec_col, "q_vec", lambda a, b: a.cast("double") * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    norm = F.sqrt(F.aggregate(
-        F.transform(vec_col, lambda a: a.cast("double") * a),
-        F.lit(0.0), lambda acc, x: acc + x))
-    scored = cand.select(
-        "q_id", "id",
-        (dot / F.when(norm > 0, norm).otherwise(F.lit(1.0))).alias("sim"))
+    cos_sim = _cos_sim_udf()
+    scored = cand.select("q_id", "id", cos_sim("v", "q_vec").alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))

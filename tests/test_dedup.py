@@ -116,6 +116,30 @@ def test_minhash_udf_equals_sql(spark, near_dup_docs):
     assert a == b
 
 
+def test_simhash_udf_equals_sql(spark, near_dup_docs):
+    """The batched-numpy SimHash path must produce bit-identical
+    fingerprints to the n_bits SQL folds (mirror of the minhash
+    test — VERDICT r01 item 4)."""
+    sql_sh = near_dup_docs.select(
+        "doc_id", dedup.simhash_col(F.col("tokens"), 16).alias("sh"))
+    udf_sh = dedup.simhash_docs(near_dup_docs, 16)
+    a = {r.doc_id: r.sh for r in sql_sh.collect()}
+    b = {r.doc_id: r.sh for r in udf_sh.collect()}
+    assert a == b
+
+
+def test_exact_dedup_shuffles_hash_not_content(spark):
+    """The aggregate/join shuffles must be keyed on the 32-byte sha2
+    hash, never the raw content column (the 100-TB design point —
+    VERDICT r01 item 3)."""
+    pdf = pd.DataFrame({"doc_id": ["a", "b"], "text": ["x", "x"]})
+    out = dedup.exact_dedup(spark.createDataFrame(pdf), "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "__content_h" in line and "text" not in line, line
+
+
 def test_cosine_near_dups_exact_and_lsh(spark):
     """Exact cosine pairs match a numpy oracle; LSH candidates are a
     subset with decent recall on the embeddings fixture."""

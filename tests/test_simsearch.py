@@ -61,6 +61,46 @@ def test_ivf_recall(spark, emb):
     assert np.mean(recalls) >= 0.8
 
 
+def test_lsh_multiprobe_beats_or_matches_single_probe(spark, emb):
+    """Multi-probe (Hamming-1) candidates are a superset of the single
+    bucket's, so recall@k can only rise; on the fixture it must reach
+    0.9 (VERDICT r01 item 6)."""
+    df, vecs = emb
+    queries, q_ids = vecs[:5], np.arange(5, dtype="int64")
+    want = _true_topk(vecs, queries, 5)
+
+    def recall(multiprobe):
+        got = simsearch.lsh_ann_topk(df, queries, q_ids, k=5, n_planes=6,
+                                     multiprobe=multiprobe).toPandas()
+        return np.mean([
+            len(set(got[got["q_id"] == q]["id"]) & want[q]) / 5
+            for q in range(5)])
+
+    r_multi = recall(True)
+    assert r_multi >= recall(False) - 1e-9
+    assert r_multi >= 0.9
+
+
+def test_query_frames_build_in_default_session(spark, emb):
+    """Regression for r01 CORRECTNESS errors: the q_vec/probe frames
+    must construct without pandas schema inference (explicit DDL +
+    tolist), so the operators work in any plain session."""
+    df, vecs = emb
+    queries, q_ids = vecs[:2], np.arange(2, dtype="int64")
+    lsh = simsearch.lsh_ann_topk(df, queries, q_ids, k=3, n_planes=4)
+    ivf = simsearch.ivf_topk(df, queries, q_ids, k=3, n_centroids=4,
+                             n_probe=2)
+    for out in (lsh, ivf):
+        pdf = out.toPandas()
+        assert len(pdf) == 6
+        assert set(pdf.columns) == {"q_id", "id", "sim", "rank"}
+        # q0/q1 are rows 0/1 of the corpus: each query's own vector
+        # must be its rank-1 hit with sim ~ 1
+        best = pdf[pdf["rank"] == 1].set_index("q_id")
+        assert best.loc[0, "id"] == 0 and best.loc[1, "id"] == 1
+        assert np.allclose(best["sim"], 1.0, atol=1e-9)
+
+
 def test_kmeans_centroids_partition_clusters():
     rng = np.random.default_rng(1)
     a = rng.standard_normal((100, 2)) + [10, 0]
