@@ -123,6 +123,22 @@ def _q_seg_energy(spark, sf_dir):
     return segs.select("doc_id", "seg_idx", energy.alias("energy"))
 
 
+def _q_battery_time(spark, sf_dir):
+    # the REAL fused battery (same path as features_battery), projected
+    # to its SQL-expressible time-domain columns so the flagship
+    # pipeline gets a value-oracle, not just a row count
+    from apollon_spark.operators.framing import FramingParams
+    from apollon_spark.spectral import FeatureConfig, extract_features
+    cfg = FeatureConfig(framing=FramingParams(32, 16))
+    feats = extract_features(_docs(spark, sf_dir).where(F.col("n_tok") >= 32),
+                             cfg)
+    return feats.select(
+        "doc_id", "seg_idx", "center",
+        F.round("energy", 6).alias("energy"),
+        F.round("rms", 6).alias("rms"),
+        F.round("spl", 6).alias("spl"))
+
+
 def _q_causal_energy(spark, sf_dir):
     from apollon_spark.operators.framing import FramingParams
     from apollon_spark.spectral import FeatureConfig, extract_features
@@ -214,6 +230,26 @@ def _q_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return simhash_docs(docs, _SIMHASH_BITS) \
         .select("doc_id", F.col("sh").alias("simhash"))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    # MinHash-LSH candidate mining — the banded bucket join that
+    # replaces the O(n^2) comparison; value-oracled against the same
+    # banding in DuckDB
+    from apollon_spark.ml.dedup import lsh_candidate_pairs, minhash_docs
+    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= _SHINGLE_K)
+    sigs = minhash_docs(docs, _MINHASH_N, _SHINGLE_K, _MINHASH_SEED)
+    return lsh_candidate_pairs(sigs, n_bands=4)
+
+
+def _q_media_frame_plan(spark, sf_dir):
+    # video frame-sampling plan: metadata-only projection (the binary
+    # payload column is pruned at the scan); synth_media's metadata is
+    # a deterministic closed form, so DuckDB can regenerate it
+    from apollon_spark.ml.multimodal import frame_sample_plan, synth_media
+    media = synth_media(spark, 32)
+    return frame_sample_plan(media, every_ms=250).select(
+        "media_id", "duration_ms", "frame_ts_ms")
 
 
 def _q_jaccard_pairs(spark, sf_dir):
@@ -392,8 +428,12 @@ def _q_extend_energy(spark, sf_dir):
 def _q_cosine_neardup(spark, sf_dir):
     from apollon_spark.ml.dedup import cosine_near_dups
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # exclude pairs within 1e-4 of the threshold (mirrored in the
+    # oracle): Spark's left-to-right fold and DuckDB's GROUP BY sum are
+    # non-associative, so a pair exactly at the cutoff could flip
     return cosine_near_dups(emb, "vec_id", "embedding", threshold=0.2,
-                            scope=F.col("vec_id") < 200)
+                            scope=F.col("vec_id") < 200) \
+        .where(F.abs(F.col("cos_sim") - 0.2) > 1e-4)
 
 
 def _q_cosine_neardup_lsh(spark, sf_dir):
@@ -521,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding": _q_sliding,
         "segment_meta": _q_segment_meta,
         "seg_energy": _q_seg_energy,
+        "battery_time": _q_battery_time,
         "causal_energy": _q_causal_energy,
         "asof_union": _q_asof_union,
         "asof_bucketed": _q_asof_bucketed,
@@ -531,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": _q_minhash,
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
+        "lsh_pairs": _q_lsh_pairs,
+        "media_frame_plan": _q_media_frame_plan,
         "knn_cosine": _q_knn_cosine,
         "text_profile": _q_text_profile,
         "tpch_q1": _q_tpch_q1,
@@ -568,7 +611,7 @@ _W = f"WITH {DUCKDB_DOCS_CTE.strip()}"
 _WF = f"WITH {DUCKDB_DOCS_CTE.strip()}, {DUCKDB_FRAMES_CTE.strip()}"
 
 
-def _minhash_sql() -> str:
+def _minhash_sigs_cte() -> str:
     # fold order must equal the Spark fold: ((x0 % M)*p + x1) % M * p + x2) % M
     params = hash_params(_MINHASH_N, _MINHASH_SEED)
     shingle = (
@@ -587,11 +630,32 @@ shingled AS (
   SELECT doc_id, {shingle} AS sh FROM docs WHERE n_tok >= {_SHINGLE_K}
 ),
 sigs AS (SELECT doc_id, [{sig_cols}] AS signature
-         FROM (SELECT doc_id, {sig_exprs} FROM shingled))
+         FROM (SELECT doc_id, {sig_exprs} FROM shingled))"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+{_minhash_sigs_cte()}
 SELECT doc_id,
        CAST(generate_subscripts(signature, 1) - 1 AS INT) AS h_idx,
        unnest(signature) AS sig
 FROM sigs
+"""
+
+
+def _lsh_pairs_sql(n_bands: int = 4) -> str:
+    rows = _MINHASH_N // n_bands
+    return f"""
+{_minhash_sigs_cte()},
+banded AS (
+  SELECT doc_id, CAST(bd.band AS INT) AS band,
+         signature[bd.band * {rows} + 1 : bd.band * {rows} + {rows}]
+           AS band_sig
+  FROM sigs, (SELECT unnest(range(0, {n_bands})) AS band) bd
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """
 
 
@@ -731,6 +795,34 @@ FROM segs s JOIN frames f
  AND f.position >= s.seg_idx * 16 AND f.position < s.seg_idx * 16 + 32
 GROUP BY s.doc_id, s.seg_idx
 """,
+        "battery_time": f"""
+{_WF},
+meta AS (
+  SELECT doc_id,
+         CAST((n_tok + 32 + ((((-(n_tok - 32)) % 16) + 16) % 16 % 32) - 16)
+              // 16 AS BIGINT) AS n_segs
+  FROM docs WHERE n_tok >= 32
+),
+segs AS (
+  SELECT doc_id, unnest(range(0, n_segs)) AS seg_idx FROM meta
+),
+agg AS (
+  SELECT s.doc_id, CAST(s.seg_idx AS INT) AS seg_idx,
+         CAST(s.seg_idx * 16 AS BIGINT) AS center,
+         coalesce(sum(CAST(f.token AS DOUBLE) * f.token), 0.0) AS energy
+  FROM segs s LEFT JOIN frames f
+    ON f.doc_id = s.doc_id
+   AND f.position >= s.seg_idx * 16 - 16 AND f.position < s.seg_idx * 16 + 16
+  GROUP BY s.doc_id, s.seg_idx
+)
+SELECT doc_id, seg_idx, center,
+       round(energy, 6) AS energy,
+       round(sqrt(energy / 32), 6) AS rms,
+       round(CASE WHEN energy > 0
+                  THEN 20 * log10(sqrt(energy / 32) / 2e-5)
+                  ELSE 0.0 END, 6) AS spl
+FROM agg
+""",
         "causal_energy": f"""
 {_WF},
 segs AS (
@@ -824,6 +916,17 @@ WITH groups AS (
 SELECT doc_id, dup_count FROM groups
 """,
         "minhash": _minhash_sql(),
+        "lsh_pairs": _lsh_pairs_sql(),
+        "media_frame_plan": """
+WITH meta AS (
+  SELECT printf('m%06d', i) AS media_id,
+         CAST(1000 + i * 10 AS INT) AS duration_ms
+  FROM (SELECT unnest(range(0, 32)) AS i)
+)
+SELECT media_id, duration_ms,
+       CAST(unnest(range(0, duration_ms, 250)) AS INT) AS frame_ts_ms
+FROM meta
+""",
         "simhash": _simhash_sql(),
         "jaccard_pairs": """
 WITH d AS (
@@ -989,7 +1092,8 @@ sims AS (
                   sqrt(sum(CAST(y AS DOUBLE) * y))), 6) AS cos_sim
   FROM p GROUP BY id_a, id_b
 )
-SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.2
+SELECT id_a, id_b, cos_sim FROM sims
+WHERE cos_sim >= 0.2 AND abs(cos_sim - 0.2) > 1e-4
 """,
         "extend_energy": f"""
 {_W},

@@ -12,6 +12,19 @@ from pyspark.sql import functions as F
 SPL_REF = 2e-5
 
 
+def mono_mixdown(*channels: Column) -> Column:
+    """Element-wise mean of N channel arrays — the multi-channel ->
+    mono fold of the reference loader (audio.py ``fti16`` applies the
+    same mean over ``audio.data`` channels). Pure array SQL: a
+    zip_with sum across channels, then one transform to divide."""
+    if not channels:
+        raise ValueError("mono_mixdown needs at least one channel")
+    acc = F.transform(channels[0], lambda x: x.cast("double"))
+    for ch in channels[1:]:
+        acc = F.zip_with(acc, ch, lambda a, b: a + b.cast("double"))
+    return F.transform(acc, lambda s: s / float(len(channels)))
+
+
 def freq2mel(frq: Column) -> Column:
     """1125 * ln(1 + f/700) (signal/tools.py:99-109)."""
     return 1125.0 * F.log(1.0 + frq / 700.0)

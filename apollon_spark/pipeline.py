@@ -73,8 +73,13 @@ def run_feature_job(spark: SparkSession, docs: DataFrame, out_dir: str,
         marker = os.path.join(done_dir, f"bucket={k}")
         out_path = os.path.join(out_dir, "features", f"bucket={k}")
         if os.path.exists(marker):
-            summary["buckets_skipped"] += 1
-            continue
+            # skip ONLY if the marker was committed under the same
+            # params — a marker from a different cfg means the parquet
+            # on disk answers a different question; rerun it
+            with open(marker) as fh:
+                if fh.read().strip() == phash:
+                    summary["buckets_skipped"] += 1
+                    continue
         t0 = time.time()
         part = docs.where(F.col("_bucket") == k).drop("_bucket")
         rows_in = part.count()

@@ -86,6 +86,21 @@ def rect_kernel(dists_cheb: np.ndarray, radius: float) -> np.ndarray:
     return (dists_cheb <= radius).astype("float64")
 
 
+def vn_neighbourhood(x: int, y: int, dx: int, dy: int,
+                     flat: bool = False):
+    """Von Neumann 4-neighbourhood of (x, y) on a (dx, dy) lattice
+    (som/topologies.py:19-51) — the explicit util behind the star
+    kernel at radius 1 (which adds the center cell itself).
+
+    Returns a list of (x, y) tuples, or flat raveled indices when
+    ``flat`` is True."""
+    nh = [(x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1)]
+    nh = [(i, j) for i, j in nh if 0 <= i < dx and 0 <= j < dy]
+    if flat:
+        return np.ravel_multi_index(np.array(nh).T, (dx, dy))
+    return nh
+
+
 KERNELS = {"gaussian": gauss_kernel, "mexican": mexican_kernel,
            "star": star_kernel, "rect": rect_kernel}
 

@@ -207,17 +207,20 @@ def _finalize_sharpness(df: DataFrame) -> DataFrame:
 
 
 def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
-                     split: bool = False, chunk_segs: int = 1024) -> DataFrame:
+                     split: bool = False, chunk_segs: int = 1024,
+                     exchange: bool = True) -> DataFrame:
     """Per (doc, segment) feature battery.
 
     ``split=False``: one mapInPandas over whole docs — zero shuffles
     before the (small) sharpness window.
     ``split=True``: halo-split chunks first (skewed long docs); same
-    output, exactly.
+    output, exactly. ``exchange`` plumbs through to
+    ``split_docs_halo`` — set False to skip the round-robin chunk
+    shuffle when the input is already well-spread.
     """
     p = cfg.framing
     if split:
-        return _extract_split(docs, cfg, chunk_segs)
+        return _extract_split(docs, cfg, chunk_segs, exchange)
 
     n_perseg, n_overlap = p.n_perseg, p.n_overlap
     extend, pad, causal = p.extend, p.pad, cfg.causal
@@ -276,11 +279,11 @@ def extract_features(docs: DataFrame, cfg: FeatureConfig = FeatureConfig(),
 
 
 def _extract_split(docs: DataFrame, cfg: FeatureConfig,
-                   chunk_segs: int) -> DataFrame:
+                   chunk_segs: int, exchange: bool = True) -> DataFrame:
     """Skew path: chunked extraction with flux halo."""
     p = cfg.framing
     chunks = split_docs_halo(docs, p, chunk_segs=chunk_segs, flux_halo=1,
-                             causal=cfg.causal)
+                             exchange=exchange, causal=cfg.causal)
     n_perseg, n_overlap, step = p.n_perseg, p.n_overlap, p.step
     # causal centers are i*step (kernels.causal_frame_signal); the
     # chunk slice already starts n_perseg-1 before the owned segment,

@@ -138,3 +138,30 @@ def test_bandpass_docs_spark(spark):
     # DC offset (0 Hz) removed, 800 Hz carrier passes
     assert abs(filt[2000:].mean()) < 2.0
     assert np.abs(filt[2000:]).max() > 80.0
+
+
+def test_mono_mixdown_elementwise_mean(spark):
+    """mono_mixdown averages N channel arrays elementwise, JVM-side,
+    and its output feeds the scalar battery (energy) unchanged."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "ch0": [[1, 3, 5], [0, 0, 0]],
+        "ch1": [[3, 5, 7], [2, 4, 6]],
+    })
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "doc_id",
+        scalars.mono_mixdown(F.col("ch0"), F.col("ch1")).alias("mono"))
+    got = {r.doc_id: list(r.mono) for r in out.collect()}
+    assert got == {"a": [2.0, 4.0, 6.0], "b": [1.0, 2.0, 3.0]}
+    # scalar column downstream: per-doc energy over the mixdown
+    energy = out.select(
+        "doc_id",
+        F.aggregate("mono", F.lit(0.0), lambda a, x: a + x * x)
+        .alias("energy")).collect()
+    assert {r.doc_id: r.energy for r in energy} == \
+        {"a": 4.0 + 16.0 + 36.0, "b": 1.0 + 4.0 + 9.0}
+    # single channel: identity (cast to double)
+    one = df.select(scalars.mono_mixdown(F.col("ch0")).alias("m")).collect()
+    assert list(one[0].m) == [1.0, 3.0, 5.0]

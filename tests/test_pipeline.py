@@ -39,3 +39,12 @@ def test_run_and_resume(spark, tmp_path):
     assert s3["buckets_done"] == 1 and s3["buckets_skipped"] == 3
     after = {r["bucket"]: r["checksum"] for r in read_lineage(out)}
     assert after == before
+
+    # changed params: markers from the old cfg must NOT be trusted —
+    # every bucket reruns under the new hash (stale-resume bug, r02)
+    cfg2 = FeatureConfig(framing=FramingParams(64, 32))
+    s4 = run_feature_job(spark, docs, out, cfg2, n_buckets=4)
+    assert s4["params_hash"] != s1["params_hash"]
+    assert s4["buckets_done"] == 4 and s4["buckets_skipped"] == 0
+    assert all(r["params_hash"] == s4["params_hash"]
+               for r in read_lineage(out))

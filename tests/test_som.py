@@ -62,6 +62,46 @@ def test_batch_som_spark_quality(spark):
     np.testing.assert_allclose(got["bmu_dist"].to_numpy(), dist, rtol=1e-9)
 
 
+def test_batch_som_qerr_monotone_after_reorg(spark):
+    """Quantization-error behavior at realistic n_iter (VERDICT r01
+    item 9, investigated): with init='rnd' the initial weights are
+    sampled data rows, so epoch 0's qerr is artificially low; the
+    first wide-radius batch update then smears every unit toward the
+    global mean (qerr jumps) — the standard batch-SOM radius-schedule
+    effect, not a defect. The invariant that must hold: strictly
+    non-increasing qerr from epoch 1 onward, and a final qerr well
+    under the post-reorganization level."""
+    import pandas as pd
+    data = _clusters(400)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(data)), "vec": list(data)}))
+    p = som.SomParams(4, 4, n_iter=10, init="rnd", seed=10)
+    _, qerr = som.fit_batch_som(df, "vec", p)
+    assert len(qerr) == 10
+    for prev, cur in zip(qerr[1:], qerr[2:]):
+        assert cur <= prev + 1e-9, qerr
+    assert qerr[-1] < 0.6 * qerr[1]
+
+
+def test_vn_neighbourhood_matches_reference_semantics():
+    """Corner/edge/interior cases of som/topologies.py:19-51, and
+    equivalence with the star kernel at radius 1 (star additionally
+    includes the center cell)."""
+    assert sorted(som.vn_neighbourhood(0, 0, 3, 3)) == [(0, 1), (1, 0)]
+    assert sorted(som.vn_neighbourhood(1, 0, 3, 3)) == \
+        [(0, 0), (1, 1), (2, 0)]
+    assert sorted(som.vn_neighbourhood(1, 1, 3, 3)) == \
+        [(0, 1), (1, 0), (1, 2), (2, 1)]
+    flat = som.vn_neighbourhood(1, 1, 3, 3, flat=True)
+    assert sorted(flat) == [1, 3, 5, 7]
+    # star kernel at r=1 == VN neighbourhood + the center itself
+    grid = som.SomGrid(3, 3)
+    gd = som.grid_dists(grid, "cityblock")
+    star = som.star_kernel(gd[4], 1.0)          # unit 4 = (1, 1)
+    on = set(np.flatnonzero(star))
+    assert on == set(flat) | {4}
+
+
 def test_umatrix_shape_and_range():
     rng = np.random.default_rng(2)
     w = rng.normal(size=(16, 3))
