@@ -67,8 +67,12 @@ def get_spark(
     for var, val in worker_env.items():
         os.environ.setdefault(var, val)
 
+    # SPARK_GRAFT_MASTER: run against a real cluster (e.g. a standalone
+    # master URL) instead of in-process local mode. cpus then means the
+    # TOTAL executor cores the job should assume for sizing.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

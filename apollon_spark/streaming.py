@@ -122,3 +122,36 @@ def stream_windowed_agg(events: DataFrame, ts_col: str = "ts",
             .select(F.col("window.start").alias("win_start"),
                     F.col("window.end").alias("win_end"),
                     *([by] if by else []), "n", "val_sum", "val_avg"))
+
+
+def stream_exact_dedup(docs: DataFrame, content_col: str = "text",
+                       ts_col: str = "ts",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup over an unbounded doc stream: keep the
+    first arrival of each distinct content value within the watermark
+    horizon.
+
+    Scale shape (the streaming face of ``ml.dedup.exact_dedup``): the
+    dedup key is ``sha2(content, 256)`` — 32 bytes of state per
+    distinct doc instead of the raw text — and
+    ``dropDuplicatesWithinWatermark`` evicts key state once the
+    watermark passes, so state is bounded by the arrival-rate x
+    horizon product, never by corpus size. (All-time exact dedup over
+    an unbounded stream is unbounded state by definition; the batch
+    operator covers that case.)
+
+    Works on a streaming OR batch frame; batch falls back to plain
+    dropDuplicates on the hash (same survivors modulo arrival order,
+    which batch has no notion of).
+    """
+    from pyspark.sql import functions as F
+    keyed = docs.withColumn(
+        "__content_h",
+        F.unhex(F.sha2(F.col(content_col).cast("string"), 256)))
+    if docs.isStreaming:
+        out = (keyed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+               .withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(["__content_h"]))
+    else:
+        out = keyed.dropDuplicates(["__content_h"])
+    return out.drop("__content_h")

@@ -76,19 +76,25 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
     # growth) that can double a run at random; the best run is the
     # intrinsic throughput the scaling criterion is about
     n_runs = int(os.environ.get("BENCH_RUNS", 3))
-    best, n_segs = None, 0
+    runs, n_segs = [], 0
     for _ in range(n_runs):
         t0 = time.time()
         n_segs = union.count()
-        elapsed = time.time() - t0
-        best = elapsed if best is None else min(best, elapsed)
+        runs.append(time.time() - t0)
     docs.unpersist()
+    best = min(runs)
+    median = sorted(runs)[len(runs) // 2]
     return {
         "feature_extraction_sec": round(best, 3),
         "n_docs": total_docs,
         "n_segments": n_segs,
         "n_runs": n_runs,
+        "run_policy": "best-of-N on cached input (JVM GC stalls on this"
+                      " box randomly inflate individual runs); median and"
+                      " per-run times reported alongside",
+        "runs_sec": [round(r, 3) for r in runs],
         "sequences_per_sec": round(total_docs / best, 3),
+        "sequences_per_sec_median": round(total_docs / median, 3),
     }
 
 
@@ -131,6 +137,9 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "sequences_per_sec": feat["sequences_per_sec"],
+        "sequences_per_sec_median": feat["sequences_per_sec_median"],
+        "feature_runs_sec": feat["runs_sec"],
+        "run_policy": feat["run_policy"],
         "n_docs": feat["n_docs"],
         "n_segments": feat["n_segments"],
         "cpus": cpus,

@@ -167,9 +167,14 @@ process on cached input.
 | per-shard rates at 4N | {[s['sequences_per_sec'] for s in shards]} |
 | one shard SOLO (= per-executor rate without host sharing) | {thr_solo} |
 
-**eff (4 executors on separate hosts, measured solo-shard rate x4)**
+**eff (separate-hosts PROJECTION: measured solo-shard rate x4 —
+no real second host exists in this sandbox)**
 `= (4 x {thr_solo} / {thr_n}) / 4 = {eff_sep:.3f}`
 (pass bar >= 0.8: {"PASS" if eff_sep >= 0.8 else "FAIL"}).
+For the MEASURED real-cluster numbers (standalone master/workers,
+spark-submit --py-files) see bench_cluster.py / BENCH/cluster.json;
+the measured colocated efficiency is the primary number and the
+hardware control below bounds what colocation can ever show.
 
 **eff (4 executors colocated on this single box)** `= {eff_col:.3f}`.
 The gap is host physics, not the engine: an ideal-parallel control —
@@ -182,20 +187,26 @@ shared DRAM bandwidth + all-core turbo drop). The engine's colocated
 its per-shard rates are uniform
 (no skew straggler; the whale halo-exchange spreads long docs).
 
-Real clusters give each executor its own memory system, so the
-separate-hosts number is the faithful one; every input to it is
-measured on this box.
+Real clusters give each executor its own memory system; the
+separate-hosts PROJECTION models exactly (and only) that property.
+Every input to it is measured on this box.
 
 Dataset hash: deterministic per-doc crc32(doc_id) seeds (datagen.py) —
 all processes derive bit-identical docs from the same seeds.
 """)
-    print(json.dumps({
+    blob = {
         "thr_n": thr_n, "thr_4n_colocated": thr_4n,
         "thr_shard_solo": thr_solo,
         "eff_separate_hosts": round(eff_sep, 3),
         "eff_colocated": round(eff_col, 3),
         "eff_hw_ceiling": round(eff_hw, 3),
-        "n_docs": n_docs}))
+        "n_docs": n_docs,
+        "note": "eff_separate_hosts is a PROJECTION (solo-shard rate x4),"
+                " not a multi-node measurement; bench_cluster.py holds the"
+                " measured real-cluster numbers"}
+    with open(os.path.join(HERE, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(blob, fh, indent=1)
+    print(json.dumps(blob))
 
 
 if __name__ == "__main__":

