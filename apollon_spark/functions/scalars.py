@@ -16,13 +16,22 @@ def mono_mixdown(*channels: Column) -> Column:
     """Element-wise mean of N channel arrays — the multi-channel ->
     mono fold of the reference loader (audio.py ``fti16`` applies the
     same mean over ``audio.data`` channels). Pure array SQL: a
-    zip_with sum across channels, then one transform to divide."""
+    zip_with sum across channels, then one transform to divide.
+
+    Channels of unequal length are malformed input: the whole result
+    is NULL for that row (detectable with one isnull filter) rather
+    than a silent trailing-null tail that zip_with padding would
+    produce."""
     if not channels:
         raise ValueError("mono_mixdown needs at least one channel")
     acc = F.transform(channels[0], lambda x: x.cast("double"))
     for ch in channels[1:]:
         acc = F.zip_with(acc, ch, lambda a, b: a + b.cast("double"))
-    return F.transform(acc, lambda s: s / float(len(channels)))
+    mixed = F.transform(acc, lambda s: s / float(len(channels)))
+    same_len = F.lit(True)
+    for ch in channels[1:]:
+        same_len = same_len & (F.size(channels[0]) == F.size(ch))
+    return F.when(same_len, mixed)
 
 
 def freq2mel(frq: Column) -> Column:

@@ -132,8 +132,9 @@ def minhash_docs(docs: DataFrame, n_hashes: int = 16, shingle_k: int = 3,
                 sigs.append(hv.min(axis=0))
             yield pd.DataFrame({id_col: ids, "signature": sigs})
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, arr_col).mapInPandas(
-        gen, f"{id_col} string, signature array<long>")
+        gen, f"{id_col} {id_type}, signature array<long>")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
@@ -248,8 +249,12 @@ def simhash_docs(docs: DataFrame, n_bits: int = 32, id_col: str = "doc_id",
                 shs.append(sh)
             yield pd.DataFrame({id_col: ids, "sh": shs})
 
+    # preserve the caller's id type (long ids must stay long: a string
+    # schema would both crash Arrow conversion and make downstream
+    # id_a < id_b comparisons lexicographic)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, arr_col).mapInPandas(
-        gen, f"{id_col} string, sh long")
+        gen, f"{id_col} {id_type}, sh long")
 
 
 def hamming_distance_col(a: Column, b: Column, n_bits: int = 32) -> Column:
@@ -349,8 +354,6 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
     Hot paths are vectorized: ALL band buckets come from one
     (n_bands*n_planes, dim) matmul per Arrow batch, and candidate
     scoring is one einsum per batch — no per-row SQL folds."""
-    from pyspark.sql.functions import pandas_udf
-
     weights = (1 << np.arange(n_planes)).astype("int64")
 
     v = vectors.select(F.col(id_col).cast("long").alias("id"),
@@ -392,17 +395,8 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
             .join(v.select(F.col("id").alias("id_b"),
                            F.col("v").alias("vb")), "id_b"))
 
-    @pandas_udf("double")
-    def cos_sim(va: pd.Series, vb: pd.Series) -> pd.Series:
-        x = np.stack(va.to_numpy())
-        y = np.stack(vb.to_numpy())
-        dots = np.einsum("ij,ij->i", x, y)
-        denom = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        # zero-norm vectors -> 0.0, never NaN (Spark orders NaN ABOVE
-        # every number, so a NaN would pass any >= threshold filter)
-        out = np.zeros(len(dots))
-        np.divide(dots, denom, out=out, where=denom > 0)
-        return pd.Series(out)
+    from .simsearch import _cos_sim_udf
+    cos_sim = _cos_sim_udf()
 
     return (cand.select("id_a", "id_b",
                         F.round(cos_sim("va", "vb"), 6).alias("cos_sim"))

@@ -160,11 +160,15 @@ def lsh_ann_topk(vectors: DataFrame, queries: np.ndarray,
         "q_id long, q_vec array<double>")
 
     # keys-only candidate mining: the embedding payloads never enter
-    # the bucket join or the dedup shuffle
+    # the bucket join. No dedup needed — each row sits in exactly one
+    # bucket and a query's probe set {base} U {base^(1<<b)} is
+    # pairwise distinct, so the join emits each (q_id, id) at most
+    # once (a dropDuplicates here would hash-exchange the whole
+    # candidate set for nothing).
     cand_keys = (buckets
                  .join(F.broadcast(probes),
                        F.col("bucket") == F.col("q_bucket"))
-                 .select("q_id", "id").dropDuplicates(["q_id", "id"]))
+                 .select("q_id", "id"))
     cand = (cand_keys
             .join(vectors.select(F.col(id_col).alias("id"),
                                  F.col(vec_col).alias("v")), "id")

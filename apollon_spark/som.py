@@ -97,6 +97,8 @@ def vn_neighbourhood(x: int, y: int, dx: int, dy: int,
     nh = [(x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1)]
     nh = [(i, j) for i, j in nh if 0 <= i < dx and 0 <= j < dy]
     if flat:
+        if not nh:                      # 1x1 lattice: no neighbours
+            return np.array([], dtype=np.intp)
         return np.ravel_multi_index(np.array(nh).T, (dx, dy))
     return nh
 

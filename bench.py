@@ -82,8 +82,9 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
         n_segs = union.count()
         runs.append(time.time() - t0)
     docs.unpersist()
+    import statistics
     best = min(runs)
-    median = sorted(runs)[len(runs) // 2]
+    median = statistics.median(runs)
     return {
         "feature_extraction_sec": round(best, 3),
         "n_docs": total_docs,

@@ -223,7 +223,8 @@ quarter-shard SOLO on the otherwise-idle box
 non-colocated executor would sustain — and projects
 4 x solo-shard rate / thr_N = **eff_separate =
 {sep if sep is not None else 'n/a'}** (pass bar >= 0.8:
-{'PASS' if (sep or 0) >= 0.8 else 'n/a — rerun bench_scaling.py'}).
+{('PASS' if sep >= 0.8 else 'FAIL') if sep is not None
+ else 'n/a — rerun bench_scaling.py'}).
 This number is a PROJECTION, not a multi-node measurement: it keeps
 real executor JVM behavior but assumes only that separate hosts
 remove the shared-DRAM contention (exactly what the hardware control

@@ -187,3 +187,25 @@ def test_cosine_near_dups_zero_norm_vectors(spark):
     got_lsh = {(int(r.id_a), int(r.id_b)) for _, r in lsh.iterrows()}
     assert got_lsh <= {(2, 3)}
     assert not lsh["cos_sim"].isna().any()
+
+
+def test_signature_ops_preserve_long_ids(spark):
+    """minhash_docs / simhash_docs / simhash_near_dups must keep a
+    non-string id column's type (code-review r02: a hardcoded string
+    schema crashed Arrow conversion and would make id_a < id_b
+    lexicographic)."""
+    pdf = pd.DataFrame({
+        "vec_id": np.array([2, 9, 10], dtype="int64"),
+        "tokens": [[1, 2, 3, 4], [1, 2, 3, 4], [9, 8, 7, 6]]})
+    df = spark.createDataFrame(pdf)
+    mh = dedup.minhash_docs(df, 4, 2, id_col="vec_id")
+    sh = dedup.simhash_docs(df, 16, id_col="vec_id")
+    assert dict(mh.dtypes)["vec_id"] == "bigint"
+    assert dict(sh.dtypes)["vec_id"] == "bigint"
+    pairs = dedup.simhash_near_dups(df, max_hamming=0, n_bits=16,
+                                    prefix_bits=4, id_col="vec_id") \
+        .toPandas()
+    # ids 2 and 9 share identical tokens -> identical fingerprints;
+    # numeric ordering must give (2, 9), and 10 > 9 numerically even
+    # though "10" < "9" lexicographically
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(2, 9)]

@@ -165,3 +165,13 @@ def test_mono_mixdown_elementwise_mean(spark):
     # single channel: identity (cast to double)
     one = df.select(scalars.mono_mixdown(F.col("ch0")).alias("m")).collect()
     assert list(one[0].m) == [1.0, 3.0, 5.0]
+
+
+def test_mono_mixdown_unequal_lengths_null(spark):
+    """Unequal channel lengths -> whole-row NULL (explicit malformed-
+    input signal), never a silent trailing-null tail."""
+    import pandas as pd
+    pdf = pd.DataFrame({"ch0": [[1, 2, 3]], "ch1": [[1, 2]]})
+    out = spark.createDataFrame(pdf).select(
+        scalars.mono_mixdown(F.col("ch0"), F.col("ch1")).alias("m"))
+    assert out.collect()[0].m is None

@@ -134,3 +134,9 @@ def test_calibration_family(spark):
     t = transform_weights(rows, w).orderBy("vec_id").toPandas()
     assert list(t.loc[0, "bmu_weights"]) == [4.0, 5.0]
     assert list(t.loc[3, "bmu_weights"]) == [0.0, 1.0]
+
+
+def test_vn_neighbourhood_empty_flat():
+    assert som.vn_neighbourhood(0, 0, 1, 1) == []
+    flat = som.vn_neighbourhood(0, 0, 1, 1, flat=True)
+    assert len(flat) == 0
