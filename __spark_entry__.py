@@ -504,6 +504,23 @@ def _q_som_bmu(spark, sf_dir):
         "vec_id", "bmu", F.round("bmu_dist", 6).alias("bmu_dist"))
 
 
+def _q_bmu_fixed(spark, sf_dir):
+    # BMU assignment against FIXED weights (the first 16 embedding
+    # vectors) — unlike the trained-SOM gate this is fully
+    # SQL-expressible, so the broadcast-argmin operator itself gets a
+    # value oracle; ties broken by lowest unit index in both engines
+    import numpy as np
+    from apollon_spark.som import assign_bmu
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    wrows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    weights = np.array([r["embedding"] for r in wrows], dtype="float64")
+    return assign_bmu(emb.where(F.col("vec_id") >= 16), "embedding",
+                      weights).select(
+        "vec_id", "bmu", F.round("bmu_dist", 6).alias("bmu_dist"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     import numpy as np
     from apollon_spark.ml.simsearch import lsh_ann_topk
@@ -579,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "topk_orders": _q_topk_orders,
         "window_count_events": _q_window_count_events,
+        "bmu_fixed": _q_bmu_fixed,
         "backfill_clip": _q_backfill_clip,
         "rolling_stats": _q_rolling_stats,
         "standardize": _q_standardize,
@@ -914,6 +932,31 @@ WITH groups AS (
   FROM documents GROUP BY text
 )
 SELECT doc_id, dup_count FROM groups
+""",
+        "bmu_fixed": """
+WITH w AS (
+  SELECT vec_id AS unit, embedding AS wv
+  FROM embeddings WHERE vec_id < 16
+),
+v AS (
+  SELECT vec_id, embedding AS ev FROM embeddings WHERE vec_id >= 16
+),
+d AS (
+  SELECT v.vec_id, w.unit,
+         sqrt(list_sum(list_transform(range(1, len(v.ev) + 1),
+              i -> (CAST(v.ev[i] AS DOUBLE) - w.wv[i])
+                   * (CAST(v.ev[i] AS DOUBLE) - w.wv[i])))) AS dist
+  FROM v CROSS JOIN w
+),
+ranked AS (
+  SELECT vec_id, unit, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, unit) AS rn
+  FROM d
+)
+SELECT vec_id, CAST(unit AS INT) AS bmu,
+       round(dist, 6) AS bmu_dist
+FROM ranked WHERE rn = 1
 """,
         "minhash": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),

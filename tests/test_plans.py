@@ -41,3 +41,28 @@ def test_scan_prunes_columns(spark, sf_dir):
     read = plan.split("ReadSchema:")[-1]
     assert "doc_id" in read and "source" in read
     assert "text" not in read
+
+
+def test_ann_paths_broadcast_and_bound_shuffles(spark):
+    """ANN candidate mining must broadcast the tiny query/probe tables
+    (never shuffle the corpus against them) and keep total exchanges
+    bounded: bucket keys + the top-k window, nothing more."""
+    from apollon_spark.ml.simsearch import ivf_topk, lsh_ann_topk
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 8))
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(300, dtype="int64"),
+        "embedding": list(vecs)}))
+    queries, q_ids = vecs[:2], np.arange(2, dtype="int64")
+
+    lsh = lsh_ann_topk(df, queries, q_ids, k=3, n_planes=4)
+    plan = _plan(lsh)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # exchanges: broadcasts + the id-join + the per-query window sort;
+    # the redundant candidate dedup (removed r02) would add one more
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+    ivf = ivf_topk(df, queries, q_ids, k=3, n_centroids=4, n_probe=2)
+    plan = _plan(ivf)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
