@@ -44,10 +44,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--som-epochs", type=int, default=10)
     ap.add_argument("--export-format", choices=["csv", "json"],
                     default="json")
+    ap.add_argument("--input-format", choices=["table", "wav"],
+                    default="table",
+                    help="'table' = parquet/Iceberg docs table; 'wav' = "
+                         "a directory/glob of .wav files decoded "
+                         "distributed (sources/wav.py) — the reference "
+                         "CLI's audio-file surface")
     args = ap.parse_args(argv)
 
     spark = get_spark(f"apollon-{args.stage}")
-    docs = storage.read_table(spark, args.input)
+    if args.input_format == "wav":
+        from .sources.wav import read_wav_docs
+        docs = read_wav_docs(spark, args.input)
+    else:
+        docs = storage.read_table(spark, args.input)
 
     from .operators.framing import FramingParams
     from .spectral import FeatureConfig, extract_features
