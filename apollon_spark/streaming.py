@@ -155,3 +155,90 @@ def stream_exact_dedup(docs: DataFrame, content_col: str = "text",
     else:
         out = keyed.dropDuplicates(["__content_h"])
     return out.drop("__content_h")
+
+
+def stream_minhash_neardup(spark, src_path: str, store_path: str,
+                           pairs_path: str, checkpoint: str,
+                           n_hashes: int = 16, n_bands: int = 4,
+                           shingle_k: int = 3, threshold: float = 0.7,
+                           seed: int = 7, trigger_once: bool = True):
+    """Streaming near-dup detection: every arriving doc is checked
+    against ALL previously seen docs via MinHash-LSH, and its
+    signature joins the store.
+
+    The streaming face of ``ml.dedup.minhash_dedup_pairs`` for the
+    crawl-ingestion shape: an unbounded doc stream deduped against an
+    ever-growing corpus. Per micro-batch (``foreachBatch``):
+
+      1. signatures for the batch (batched-numpy kernel, one scan);
+      2. band-bucket join of batch-vs-store and batch-vs-batch,
+         restricted to pairs touching this batch — the candidate
+         generator stays an equi-join on (band, band_sig) keys, never
+         corpus x batch;
+      3. candidates scored by SIGNATURE-estimated Jaccard (fraction of
+         agreeing minhashes — the unbiased MinHash estimator, 1/n_hashes
+         granularity; raise n_hashes to tighten) and pairs >=
+         ``threshold`` appended to ``pairs_path``;
+      4. batch signatures appended to the parquet ``store_path``.
+
+    State = the signature store only: n_hashes longs per doc (~128
+    bytes at 16 hashes), never the corpus text — 10^12 docs ~ 100 TB
+    of text but ~100 GB of signatures, a normal parquet table. The
+    estimator (not exact Jaccard) is deliberate: exact verification
+    would need the historical token arrays, i.e. corpus-scale reads
+    per batch; downstream consumers holding the text can re-verify the
+    emitted candidate pairs exactly (``ml.dedup.jaccard_col``).
+    Exactly-once across restarts comes from the stream checkpoint; a
+    replayed batch rewrites the same signatures idempotently.
+    """
+    from pyspark.sql import functions as F
+
+    from .ml.dedup import lsh_candidate_pairs, minhash_docs
+
+    stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+              .parquet(src_path))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.where(F.size("tokens") >= shingle_k)
+        sigs_new = minhash_docs(batch_df, n_hashes, shingle_k, seed).cache()
+        try:
+            try:
+                store = spark.read.parquet(store_path)
+            except Exception:
+                store = None
+            sigs_all = (sigs_new if store is None
+                        else store.unionByName(sigs_new))
+            # candidates restricted to pairs touching this batch: the
+            # store-vs-store pairs were emitted by earlier batches
+            new_ids = sigs_new.select(
+                F.col("doc_id").alias("new_id")).distinct()
+            cand = (lsh_candidate_pairs(sigs_all, n_bands)
+                    .join(F.broadcast(new_ids),
+                          (F.col("id_a") == F.col("new_id"))
+                          | (F.col("id_b") == F.col("new_id")), "leftsemi")
+                    .dropDuplicates(["id_a", "id_b"]))
+            est = F.aggregate(
+                F.zip_with("sig_a", "sig_b",
+                           lambda a, b: (a == b).cast("int")),
+                F.lit(0), lambda acc, x: acc + x
+            ).cast("double") / F.lit(float(n_hashes))
+            scored = (cand
+                      .join(sigs_all.select(F.col("doc_id").alias("id_a"),
+                                            F.col("signature")
+                                            .alias("sig_a")), "id_a")
+                      .join(sigs_all.select(F.col("doc_id").alias("id_b"),
+                                            F.col("signature")
+                                            .alias("sig_b")), "id_b")
+                      .select("id_a", "id_b",
+                              F.round(est, 6).alias("est_jaccard"))
+                      .where(F.col("est_jaccard") >= threshold))
+            scored.write.mode("append").parquet(pairs_path)
+            sigs_new.write.mode("append").parquet(store_path)
+        finally:
+            sigs_new.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

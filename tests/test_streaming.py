@@ -193,3 +193,64 @@ def test_stream_exact_dedup_bounded_state(spark, tmp_path):
     batch = stream_exact_dedup(spark.read.parquet(src), "text", "ts")
     bp = batch.toPandas()
     assert sorted(bp["text"]) == ["w", "x y", "z"]
+
+
+def test_stream_minhash_neardup_matches_batch(spark, tmp_path):
+    """Two micro-batches of docs with planted near-dups spanning the
+    batch boundary: the streaming store-join must find the same pairs
+    as the batch LSH pipeline run on the full corpus (scored by the
+    same signature-estimated Jaccard)."""
+    import numpy as np
+    from apollon_spark.ml.dedup import lsh_candidate_pairs, minhash_docs
+    from apollon_spark.streaming import stream_minhash_neardup
+
+    rng = np.random.default_rng(6)
+    base = {i: rng.integers(0, 300, 120).astype("int32") for i in range(6)}
+
+    def doc(doc_id, toks):
+        return (doc_id, [int(x) for x in toks], len(toks), "s")
+
+    # batch 1: originals; batch 2: near-copies of docs 0-2 (+1 fresh)
+    b1 = [doc(f"a{i}", base[i]) for i in range(6)]
+    b2 = []
+    for i in range(3):
+        t = base[i].copy()
+        t[rng.choice(120, 4, replace=False)] = rng.integers(0, 300, 4)
+        b2.append(doc(f"b{i}", t))
+    b2.append(doc("fresh", rng.integers(0, 300, 120).astype("int32")))
+
+    src = str(tmp_path / "src")
+    cols = "doc_id string, tokens array<int>, n_tok int, source string"
+    spark.createDataFrame(b1, cols).write.mode("append").parquet(src)
+
+    paths = {k: str(tmp_path / k) for k in ("store", "pairs", "ckpt")}
+
+    def run_once():
+        q = stream_minhash_neardup(
+            spark, src, paths["store"], paths["pairs"], paths["ckpt"],
+            n_hashes=32, n_bands=8, threshold=0.6)
+        q.awaitTermination()
+
+    run_once()                                     # batch 1
+    spark.createDataFrame(b2, cols).write.mode("append").parquet(src)
+    run_once()                                     # batch 2 vs store
+
+    got = spark.read.parquet(paths["pairs"]).toPandas()
+    got_pairs = {tuple(sorted((r.id_a, r.id_b))) for r in got.itertuples()}
+
+    # batch reference: same LSH + estimator over the full corpus
+    alldocs = spark.read.schema(cols).parquet(src)
+    sigs = minhash_docs(alldocs, 32, 3)
+    cand = lsh_candidate_pairs(sigs, 8)
+    sig = {r.doc_id: np.asarray(r.signature) for r in sigs.collect()}
+    want_pairs = set()
+    for r in cand.collect():
+        est = (sig[r.id_a] == sig[r.id_b]).mean()
+        if est >= 0.6:
+            want_pairs.add(tuple(sorted((r.id_a, r.id_b))))
+    assert got_pairs == want_pairs
+    assert {("a0", "b0"), ("a1", "b1"), ("a2", "b2")} <= got_pairs
+    # the signature store holds every doc exactly once
+    store = spark.read.parquet(paths["store"]).toPandas()
+    assert sorted(store["doc_id"]) == sorted(
+        [d[0] for d in b1] + [d[0] for d in b2])
