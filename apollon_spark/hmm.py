@@ -222,11 +222,20 @@ def fit_hmm_docs(docs: DataFrame, m_states: int = 3,
                  init_gamma_method: str = "uniform",
                  init_delta_method: str = "stationary",
                  fill_diag: float = 0.8, max_iter: int = 1000,
-                 tol: float = 1e-5, max_obs: int | None = None) -> DataFrame:
+                 tol: float = 1e-5, max_obs: int | None = None,
+                 spread: bool = True) -> DataFrame:
     """One fitted Poisson HMM per doc — shuffle-free mapInPandas.
 
     ``max_obs``: optionally fit on the first N observations (bounds
-    per-doc EM cost on whales; the regime structure is stationary)."""
+    per-doc EM cost on whales; the regime structure is stationary).
+
+    ``spread``: EM is ~100x more CPU per byte than the feature
+    battery, so a compact input (e.g. one small parquet file = ONE
+    scan partition) would serialize the whole fit into one task. When
+    the input has fewer partitions than ``defaultParallelism``, spend
+    one round-robin shuffle of (doc_id, tokens) to use every core —
+    at real scale inputs have >= that many partitions and this is a
+    no-op."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -252,7 +261,12 @@ def fit_hmm_docs(docs: DataFrame, m_states: int = 3,
                 "doc_id", "m_states", "lambda", "gamma", "delta", "nll",
                 "aic", "bic", "n_iter", "success"])
 
-    return docs.select("doc_id", "tokens").mapInPandas(gen, HMM_SCHEMA)
+    src = docs.select("doc_id", "tokens")
+    if spread:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par)
+    return src.mapInPandas(gen, HMM_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

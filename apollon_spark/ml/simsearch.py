@@ -186,11 +186,25 @@ def lsh_ann_topk(vectors: DataFrame, queries: np.ndarray,
 
 def kmeans_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 20,
                      seed: int = 13) -> np.ndarray:
-    """Plain Lloyd's on a driver-side sample (centroids are tiny)."""
+    """Lloyd's with kmeans++ seeding on a driver-side sample
+    (centroids are tiny). ++ seeding avoids the empty/duplicate-
+    cluster collapses of uniform seeding, which directly costs IVF
+    recall (a dead list means its vectors hide behind a far
+    centroid)."""
     rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
-                     replace=False)
-    cents = sample[idx].astype("float64")
+    k = min(n_centroids, len(sample))
+    sample = np.asarray(sample, "float64")
+    first = rng.integers(len(sample))
+    chosen = [first]
+    d2 = ((sample - sample[first]) ** 2).sum(-1)
+    for _ in range(k - 1):
+        tot = d2.sum()
+        if tot <= 0:
+            chosen.append(int(rng.integers(len(sample))))
+        else:
+            chosen.append(int(rng.choice(len(sample), p=d2 / tot)))
+        d2 = np.minimum(d2, ((sample - sample[chosen[-1]]) ** 2).sum(-1))
+    cents = sample[chosen].copy()
     for _ in range(n_iter):
         d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(axis=1)

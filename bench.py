@@ -107,7 +107,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "lag_delta", "minhash", "simhash", "knn_cosine",
              "cosine_neardup_lsh", "text_profile", "tpch_q1",
              "topk_orders", "join_revenue",
-             "features_battery", "features_split", "onsets"]
+             "features_battery", "features_split", "onsets",
+             "ann_lsh", "ivf_ann", "lsh_pairs", "battery_time",
+             "bmu_fixed", "hmm"]
     qs = entrymod.queries()
     out = {}
     for name in names:
