@@ -261,11 +261,10 @@ def fit_hmm_docs(docs: DataFrame, m_states: int = 3,
                 "doc_id", "m_states", "lambda", "gamma", "delta", "nll",
                 "aic", "bic", "n_iter", "success"])
 
+    from .session import spread_compact
     src = docs.select("doc_id", "tokens")
     if spread:
-        par = docs.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < par:
-            src = src.repartition(par)
+        src = spread_compact(src)
     return src.mapInPandas(gen, HMM_SCHEMA)
 
 

@@ -58,11 +58,10 @@ def extract_nonlinear(docs: DataFrame, corr_wlen: int = 50,
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "cdim", "correlogram", "acf_lag1", "acf_min_lag"])
 
+    from .session import spread_compact
     src = docs.select("doc_id", "tokens")
     if spread:
-        par = docs.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < par:
-            src = src.repartition(par)
+        src = spread_compact(src)
     return src.mapInPandas(gen, NONLINEAR_SCHEMA)
 
 

@@ -172,7 +172,12 @@ def _detect_onsets_fused(docs: DataFrame, cfg: FeatureConfig,
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return docs.select("doc_id", "tokens").mapInPandas(
+    # compact-input guard: rfft+flux+peak-scan is CPU-bound per doc;
+    # a single-file input would otherwise run the whole detector in
+    # one task. No-op (and still zero shuffles) at real scale.
+    from .session import spread_compact
+    src = spread_compact(docs.select("doc_id", "tokens"))
+    return src.mapInPandas(
         gen, "doc_id string, frame long, time double")
 
 

@@ -96,3 +96,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_compact(df, min_ratio: int = 1):
+    """Round-robin repartition a DataFrame IF it has fewer partitions
+    than ``min_ratio * defaultParallelism`` — the compact-input guard
+    for CPU-heavy per-doc stages (EM, cdim, fused onsets): one small
+    parquet file is ONE scan partition, which would serialize the
+    whole stage into a single task. At real scale inputs carry at
+    least cores-many partitions and this is a no-op, preserving the
+    zero-shuffle plan."""
+    par = df.sparkSession.sparkContext.defaultParallelism * min_ratio
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
