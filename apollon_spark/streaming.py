@@ -188,8 +188,10 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
     would need the historical token arrays, i.e. corpus-scale reads
     per batch; downstream consumers holding the text can re-verify the
     emitted candidate pairs exactly (``ml.dedup.jaccard_col``).
-    Exactly-once across restarts comes from the stream checkpoint; a
-    replayed batch rewrites the same signatures idempotently.
+    Exactly-once across restarts: outputs are partitioned by
+    ``epoch=<batch id>`` and written with dynamic partition overwrite,
+    so a replayed micro-batch REPLACES its own epoch partition instead
+    of appending duplicates.
     """
     from pyspark.sql import functions as F
 
@@ -203,7 +205,7 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
         sigs_new = minhash_docs(batch_df, n_hashes, shingle_k, seed).cache()
         try:
             try:
-                store = spark.read.parquet(store_path)
+                store = spark.read.parquet(store_path).drop("epoch")
             except Exception:
                 store = None
             sigs_all = (sigs_new if store is None
@@ -232,8 +234,17 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
                       .select("id_a", "id_b",
                               F.round(est, 6).alias("est_jaccard"))
                       .where(F.col("est_jaccard") >= threshold))
-            scored.write.mode("append").parquet(pairs_path)
-            sigs_new.write.mode("append").parquet(store_path)
+            # epoch-partitioned dynamic overwrite: replaying this batch
+            # after a crash replaces its own partition (idempotent),
+            # never appends duplicates
+            (scored.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(pairs_path))
+            (sigs_new.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(store_path))
         finally:
             sigs_new.unpersist()
 
