@@ -173,6 +173,25 @@ def _q_asof_bucketed(spark, sf_dir):
                      bucket_width=3_600_000_000.0)
 
 
+def _q_asof_tolerance(spark, sf_dir):
+    # pd.merge_asof-style tolerance: matches further back than 1h null
+    from apollon_spark.operators.asof import asof_join
+    clicks, purch = _click_purchase(spark, sf_dir)
+    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
+                     value_cols=["purchase_value"], strategy="union",
+                     tolerance=3_600_000_000.0)
+
+
+def _q_asof_strict(spark, sf_dir):
+    # allow_exact=False: a purchase at exactly the click time no longer
+    # matches (strict rt < t)
+    from apollon_spark.operators.asof import asof_join
+    clicks, purch = _click_purchase(spark, sf_dir)
+    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
+                     value_cols=["purchase_value"], strategy="union",
+                     allow_exact=False)
+
+
 def _q_sessionize(spark, sf_dir):
     from apollon_spark.operators.sessionize import session_bounds, sessionize
     ev = _events(spark, sf_dir).select(
@@ -582,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "causal_energy": _q_causal_energy,
         "asof_union": _q_asof_union,
         "asof_bucketed": _q_asof_bucketed,
+        "asof_tolerance": _q_asof_tolerance,
+        "asof_strict": _q_asof_strict,
         "sessionize": _q_sessionize,
         "locf": _q_locf,
         "lag_delta": _q_lag_delta,
@@ -874,6 +895,26 @@ WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
            FROM events WHERE event_type = 'purchase')
 SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.rt
+""",
+        "asof_tolerance": """
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_us(ts) AS rt,
+                  round(value, 6) AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.t_us,
+       CASE WHEN c.t_us - p.rt <= 3600000000
+            THEN p.purchase_value END AS purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.rt
+""",
+        "asof_strict": """
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_us(ts) AS rt,
+                  round(value, 6) AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us > p.rt
 """,
         "sessionize": """
 WITH e AS (
