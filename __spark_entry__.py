@@ -123,6 +123,49 @@ def _q_seg_energy(spark, sf_dir):
     return segs.select("doc_id", "seg_idx", energy.alias("energy"))
 
 
+def _q_scalar_funcs(spark, sf_dir):
+    # psychoacoustic scalar columns over a frequency ladder — pure
+    # codegen'd SQL on both sides (freq2mel/mel2freq roundtrip, Bark,
+    # C-weighting, SPL<->amplitude; signal/tools.py formulas)
+    from apollon_spark.functions import scalars
+    f = (F.lit(20.0) + F.col("vec_id") * 10.0).cast("double")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.round(scalars.freq2mel(f), 6).alias("mel"),
+        F.round(scalars.mel2freq(scalars.freq2mel(f)), 6).alias("f_rt"),
+        F.round(scalars.frq2cbr(f), 6).alias("bark"),
+        F.round(scalars.c_weighting(f), 6).alias("cw"),
+        F.round(scalars.amp(F.lit(60.0)), 9).alias("amp60"))
+
+
+def _q_acf_profile(spark, sf_dir):
+    # normalized FFT autocorrelation + the reference's no-sqrt pearson
+    # variant (signal/tools.py:57-81 quirk preserved), first 8 lags,
+    # value-oracled against direct lag sums in DuckDB
+    from apollon_spark.functions import kernels
+    docs = _docs(spark, sf_dir).where(
+        (F.col("n_tok") >= 16) & (F.col("n_tok") <= 64))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(toks, dtype="float64")
+                a = kernels.acf(x)
+                p = kernels.acf_pearson(x)
+                for lag in range(8):
+                    rows.append((doc_id, lag, round(float(a[lag]), 6),
+                                 round(float(p[lag]), 6)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "lag", "acf", "acf_pearson"])
+
+    return docs.select("doc_id", "tokens").mapInPandas(
+        gen, "doc_id string, lag int, acf double, acf_pearson double")
+
+
 def _q_battery_time(spark, sf_dir):
     # the REAL fused battery (same path as features_battery), projected
     # to its SQL-expressible time-domain columns so the flagship
@@ -598,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_meta": _q_segment_meta,
         "seg_energy": _q_seg_energy,
         "battery_time": _q_battery_time,
+        "acf_profile": _q_acf_profile,
+        "scalar_funcs": _q_scalar_funcs,
         "causal_energy": _q_causal_energy,
         "asof_union": _q_asof_union,
         "asof_bucketed": _q_asof_bucketed,
@@ -833,6 +878,61 @@ FROM segs s JOIN frames f
   ON f.doc_id = s.doc_id
  AND f.position >= s.seg_idx * 16 AND f.position < s.seg_idx * 16 + 32
 GROUP BY s.doc_id, s.seg_idx
+""",
+        "scalar_funcs": """
+WITH f AS (
+  SELECT vec_id, 20.0 + vec_id * 10.0 AS frq FROM embeddings
+)
+SELECT vec_id,
+       round(1125.0 * ln(1.0 + frq / 700.0), 6) AS mel,
+       round(700.0 * (exp((1125.0 * ln(1.0 + frq / 700.0)) / 1125.0)
+                      - 1.0), 6) AS f_rt,
+       round(13.0 * atan(0.00076 * frq)
+             + 3.5 * atan(pow(frq / 7500.0, 2)), 6) AS bark,
+       round((148693636.0 * frq * frq)
+             / ((frq * frq + 424.36) * (frq * frq + 148693636.0)), 6)
+         AS cw,
+       round(pow(10.0, 0.05 * 60.0) * 2e-5, 9) AS amp60
+FROM f
+""",
+        "acf_profile": f"""
+{_W},
+base AS (
+  SELECT doc_id, tokens, n_tok FROM docs WHERE n_tok BETWEEN 16 AND 64
+),
+lagged AS (
+  SELECT doc_id, tokens, n_tok, unnest(range(0, 8)) AS lag FROM base
+),
+parts AS (
+  SELECT doc_id, CAST(lag AS INT) AS lag,
+         list_sum(list_transform(range(1, n_tok - lag + 1),
+             i -> CAST(tokens[i] AS DOUBLE) * tokens[i + lag])) AS raw,
+         list_sum(list_transform(tokens,
+             x -> CAST(x AS DOUBLE) * x)) AS energy,
+         tokens[1 : n_tok - lag] AS xs,
+         tokens[lag + 1 : n_tok] AS ys,
+         n_tok - lag AS m
+  FROM lagged
+),
+pear AS (
+  SELECT doc_id, lag, raw, energy,
+         list_sum(list_transform(range(1, m + 1),
+             i -> (CAST(xs[i] AS DOUBLE) - list_sum(xs) * 1.0 / m)
+                * (CAST(ys[i] AS DOUBLE) - list_sum(ys) * 1.0 / m))) AS rxy,
+         list_sum(list_transform(xs,
+             x -> (CAST(x AS DOUBLE) - list_sum(xs) * 1.0 / m)
+                * (CAST(x AS DOUBLE) - list_sum(xs) * 1.0 / m))) AS xx,
+         list_sum(list_transform(ys,
+             y -> (CAST(y AS DOUBLE) - list_sum(ys) * 1.0 / m)
+                * (CAST(y AS DOUBLE) - list_sum(ys) * 1.0 / m))) AS yy
+  FROM parts
+)
+SELECT doc_id, lag,
+       round(CASE WHEN energy = 0 THEN 0.0 ELSE raw / energy END, 6)
+         AS acf,
+       round(CASE WHEN lag = 0 THEN 1.0 ELSE rxy / (xx * yy) END, 6)
+         AS acf_pearson
+FROM pear
 """,
         "battery_time": f"""
 {_WF},
