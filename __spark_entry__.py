@@ -123,6 +123,18 @@ def _q_seg_energy(spark, sf_dir):
     return segs.select("doc_id", "seg_idx", energy.alias("energy"))
 
 
+def _q_window_vectors(spark, sf_dir):
+    # the window-name registry (scipy-parity periodic windows,
+    # functions/windows.py) value-checked against closed cosine forms
+    from apollon_spark.functions.windows import get_window
+    n = 32
+    rows = []
+    for name in ("rect", "hamming", "hann", "blackman", "bartlett"):
+        w = get_window(name, n)
+        rows.extend((name, i, round(float(w[i]), 9)) for i in range(n))
+    return spark.createDataFrame(rows, "name string, i int, w double")
+
+
 def _q_scalar_funcs(spark, sf_dir):
     # psychoacoustic scalar columns over a frequency ladder — pure
     # codegen'd SQL on both sides (freq2mel/mel2freq roundtrip, Bark,
@@ -643,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "battery_time": _q_battery_time,
         "acf_profile": _q_acf_profile,
         "scalar_funcs": _q_scalar_funcs,
+        "window_vectors": _q_window_vectors,
         "causal_energy": _q_causal_energy,
         "asof_union": _q_asof_union,
         "asof_bucketed": _q_asof_bucketed,
@@ -878,6 +891,23 @@ FROM segs s JOIN frames f
   ON f.doc_id = s.doc_id
  AND f.position >= s.seg_idx * 16 AND f.position < s.seg_idx * 16 + 32
 GROUP BY s.doc_id, s.seg_idx
+""",
+        "window_vectors": """
+WITH names(name) AS (VALUES ('rect'), ('hamming'), ('hann'),
+                            ('blackman'), ('bartlett')),
+grid AS (
+  SELECT name, unnest(range(0, 32)) AS i FROM names
+)
+SELECT name, CAST(i AS INT) AS i,
+       round(CASE name
+         WHEN 'rect' THEN 1.0
+         WHEN 'hamming' THEN 0.54 - 0.46 * cos(2 * pi() * i / 32)
+         WHEN 'hann' THEN 0.5 - 0.5 * cos(2 * pi() * i / 32)
+         WHEN 'blackman' THEN 0.42 - 0.5 * cos(2 * pi() * i / 32)
+                              + 0.08 * cos(4 * pi() * i / 32)
+         WHEN 'bartlett' THEN 1.0 - abs(2.0 * i / 32 - 1.0)
+       END, 9) AS w
+FROM grid
 """,
         "scalar_funcs": """
 WITH f AS (
