@@ -23,7 +23,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="apollon-spark")
     ap.add_argument("--stage", required=True,
                     choices=["features", "onsets", "hmm", "som",
-                             "position", "export", "nonlinear"])
+                             "position", "export", "nonlinear",
+                             "dedup", "neardup", "ann", "textstats"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-perseg", type=int, default=512)
@@ -44,6 +45,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--som-epochs", type=int, default=10)
     ap.add_argument("--export-format", choices=["csv", "json"],
                     default="json")
+    # training-data pipeline stages
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--n-hashes", type=int, default=16)
+    ap.add_argument("--n-bands", type=int, default=4)
+    ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--n-queries", type=int, default=8,
+                    help="ann: use the first N vectors as queries")
     ap.add_argument("--input-format", choices=["table", "wav"],
                     default="table",
                     help="'table' = parquet/Iceberg docs table; 'wav' = "
@@ -91,6 +102,36 @@ def main(argv: list[str] | None = None) -> int:
         out = assign_bmu(docs, vec_col, weights)
         storage.write_table(out.drop(vec_col), args.output)
         print(json.dumps({"qerr": qerr}))
+    elif args.stage == "dedup":
+        # exact dedup on the content hash: input needs (id, text) cols
+        from .ml.dedup import exact_dedup
+        out = exact_dedup(docs, args.text_col, args.id_col)
+        storage.write_table(out, args.output)
+        print(json.dumps({"rows_in": docs.count(), "rows_out": out.count()}))
+    elif args.stage == "neardup":
+        # MinHash-LSH near-dup pairs over the tokens column
+        from .ml.dedup import minhash_dedup_pairs
+        pairs = minhash_dedup_pairs(
+            docs, n_hashes=args.n_hashes, n_bands=args.n_bands,
+            shingle_k=args.shingle_k, threshold=args.threshold,
+            id_col=args.id_col)
+        storage.write_table(pairs, args.output)
+        print(json.dumps({"pairs": pairs.count()}))
+    elif args.stage == "ann":
+        # LSH top-k: input = vector table (vec_id, embedding); queries =
+        # the first --n-queries vectors (or plug a query table in code)
+        import numpy as np
+        from pyspark.sql import functions as F
+        from .ml.simsearch import lsh_ann_topk
+        qrows = (docs.orderBy("vec_id").limit(args.n_queries)
+                 .select("vec_id", "embedding").collect())
+        queries = np.array([r["embedding"] for r in qrows], "float64")
+        q_ids = np.array([r["vec_id"] for r in qrows], "int64")
+        out = lsh_ann_topk(docs, queries, q_ids, k=args.topk)
+        storage.write_table(out, args.output)
+    elif args.stage == "textstats":
+        from .ml.textstats import text_profile
+        storage.write_table(text_profile(docs, args.text_col), args.output)
     elif args.stage == "export":
         if args.export_format == "csv":
             storage.write_csv(docs, args.output)

@@ -61,3 +61,28 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ndarray-aware JSON sink (io/json.py:53-66): Spark renders array
     columns as JSON arrays natively."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write a bucketed (and optionally sorted) table — the layout
+    SCALE.md §1 recommends for the docs table: bucket by the join/
+    resume key (e.g. doc_id) so joins against model tables bucketed
+    the same way are CO-LOCATED (no exchange on either side — verified
+    by tests/test_plans.py::test_bucketed_join_is_colocated), and sort
+    by n_tok within files so whales cluster into few row groups.
+
+    Bucketing requires the table catalog (``saveAsTable``); ``path``
+    makes it an external table at that filesystem location. On a real
+    deployment the Iceberg catalog's bucket partition transform plays
+    this role; the mechanism below is the built-in Spark one and works
+    everywhere."""
+    writer = df.write.mode(mode).format("parquet") \
+        .bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

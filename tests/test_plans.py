@@ -66,3 +66,33 @@ def test_ann_paths_broadcast_and_bound_shuffles(spark):
     plan = _plan(ivf)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_bucketed_join_is_colocated(spark, tmp_path):
+    """Two tables bucketed by the same key into the same bucket count
+    must sort-merge join with ZERO Exchange operators — the co-located
+    join layout SCALE.md recommends for docs x model tables."""
+    from apollon_spark.storage import write_bucketed
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(64)],
+        "n_tok": np.arange(64)}))
+    model = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(64)],
+        "score": np.random.default_rng(0).random(64)}))
+    write_bucketed(docs, "bdocs", ["doc_id"], 4, sort_cols=["doc_id"],
+                   path=str(tmp_path / "bdocs"))
+    write_bucketed(model, "bmodel", ["doc_id"], 4, sort_cols=["doc_id"],
+                   path=str(tmp_path / "bmodel"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bdocs").join(spark.table("bmodel"), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 64
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bdocs")
+        spark.sql("DROP TABLE IF EXISTS bmodel")
