@@ -133,11 +133,18 @@ def main() -> None:
         queries.update(bench_queries(spark, sf_dir))
 
     total = round(sum(queries.values()), 3)
+    # the round-1 suite was 21 queries; 6 were added in round 2, so the
+    # comparable-subset subtotal is reported alongside the full total
+    R02_ADDED = {"ann_lsh", "ivf_ann", "lsh_pairs", "battery_time",
+                 "bmu_fixed", "hmm"}
+    r01_subset = round(sum(v for k, v in queries.items()
+                           if k not in R02_ADDED), 3)
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "r01_comparable_suite_sec": r01_subset,
         "sf": sf,
         "sequences_per_sec": feat["sequences_per_sec"],
         "sequences_per_sec_median": feat["sequences_per_sec_median"],
