@@ -153,6 +153,11 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
                     b * (F.size("signature") / n_bands).cast("int") + 1,
                     (F.size("signature") / n_bands).cast("int")),
             )).alias("band", "band_sig"))
+    # persist before the self-join: otherwise each side recomputes the
+    # signature stage — two full corpus scans for keys that are a few
+    # longs per (doc, band)
+    from pyspark import StorageLevel
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -182,14 +187,14 @@ def minhash_dedup_pairs(docs: DataFrame, n_hashes: int = 16,
     """Full near-dup pipeline: shingle -> minhash -> LSH buckets ->
     exact-Jaccard verify on shingle sets. Returns (id_a, id_b, jaccard)
     pairs above threshold."""
+    # signatures via the batched-numpy path (bit-identical to the SQL
+    # fold, tested; the fold is interpreted CodegenFallback — the
+    # measured 20-100x penalty); shingle sets are recomputed only for
+    # the exact-verify join, where the candidate set is small
+    sigs = minhash_docs(docs, n_hashes, shingle_k, seed, id_col, arr_col)
+    cands = lsh_candidate_pairs(sigs, n_bands, id_col)
     sh = docs.select(id_col, token_shingles(F.col(arr_col), shingle_k)
                      .alias("shingles"))
-    sigs = sh.select(
-        id_col, "shingles",
-        minhash_signature_col(F.col("shingles"), n_hashes, seed)
-        .alias("signature"))
-    cands = lsh_candidate_pairs(sigs.select(id_col, "signature"), n_bands,
-                                id_col)
     a = sh.select(F.col(id_col).alias("id_a"),
                   F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"),
@@ -382,6 +387,13 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
                 "bkt": bkts.ravel()})
 
     ids = v.mapInPandas(bucketize, "id long, band int, bkt long")
+    # persist the keys table before the self-join: without this, each
+    # join side recomputes the bucketize stage — i.e. TWO full corpus
+    # scans (vectors and all) to build keys that are ~20 bytes per
+    # (doc, band). MEMORY_AND_DISK so a huge corpus spills instead of
+    # evicting; Spark LRU-frees it after the job.
+    from pyspark import StorageLevel
+    ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = ids.alias("a"), ids.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bkt") == F.col("b.bkt"))
