@@ -960,7 +960,9 @@ pear AS (
 SELECT doc_id, lag,
        round(CASE WHEN energy = 0 THEN 0.0 ELSE raw / energy END, 6)
          AS acf,
-       round(CASE WHEN lag = 0 THEN 1.0 ELSE rxy / (xx * yy) END, 6)
+       round(CASE WHEN lag = 0 THEN 1.0
+                  WHEN xx * yy = 0 THEN 0.0
+                  ELSE rxy / (xx * yy) END, 6)
          AS acf_pearson
 FROM pear
 """,

@@ -107,7 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         from .ml.dedup import exact_dedup
         out = exact_dedup(docs, args.text_col, args.id_col)
         storage.write_table(out, args.output)
-        print(json.dumps({"rows_in": docs.count(), "rows_out": out.count()}))
+        written = storage.read_table(spark, args.output).count()
+        print(json.dumps({"rows_in": docs.count(), "rows_out": written}))
     elif args.stage == "neardup":
         # MinHash-LSH near-dup pairs over the tokens column
         from .ml.dedup import minhash_dedup_pairs
@@ -116,7 +117,8 @@ def main(argv: list[str] | None = None) -> int:
             shingle_k=args.shingle_k, threshold=args.threshold,
             id_col=args.id_col)
         storage.write_table(pairs, args.output)
-        print(json.dumps({"pairs": pairs.count()}))
+        written = storage.read_table(spark, args.output).count()
+        print(json.dumps({"pairs": written}))
     elif args.stage == "ann":
         # LSH top-k: input = vector table (vec_id, embedding); queries =
         # the first --n-queries vectors (or plug a query table in code)

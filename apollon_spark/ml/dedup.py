@@ -89,14 +89,18 @@ def minhash_signature_col(arr: Column, n_hashes: int, seed: int = 7) -> Column:
 
 def token_shingles(arr: Column, k: int) -> Column:
     """k-gram shingles of an array<int> column, each folded to one int
-    via a rolling polynomial hash (mod 2^31-1)."""
+    via a rolling polynomial hash (mod 2^31-1). Docs shorter than k
+    yield an empty shingle array (F.sequence(1, n-k+1) would otherwise
+    DESCEND through 0 and hit the 1-based element_at)."""
     def fold(i: Column) -> Column:
         acc = F.lit(0).cast("long")
         for j in range(k):
             acc = (acc * 1_000_003 + F.element_at(arr, i + j).cast("long")) % MERSENNE
         return acc
     n = F.size(arr)
-    return F.transform(F.sequence(F.lit(1), n - (k - 1)), fold)
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), fold)
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def minhash_docs(docs: DataFrame, n_hashes: int = 16, shingle_k: int = 3,
@@ -130,20 +134,18 @@ def minhash_docs(docs: DataFrame, n_hashes: int = 16, shingle_k: int = 3,
                 hv = (a_vec[None, :] * sh[:, None] + b_vec[None, :]) % MERSENNE
                 ids.append(rid)
                 sigs.append(hv.min(axis=0))
-            yield pd.DataFrame({id_col: ids, "signature": sigs})
+            if ids:   # an all-short batch yields nothing (an empty
+                      # frame would carry untyped columns Arrow rejects)
+                yield pd.DataFrame({id_col: ids, "signature": sigs})
 
     id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, arr_col).mapInPandas(
         gen, f"{id_col} {id_type}, signature array<long>")
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Band the signatures and self-join on (band, band-signature) —
-    the bucket join that replaces the O(n^2) comparison. Returns
-    distinct candidate pairs (id_a < id_b)."""
-    n_hashes = None  # rows per band derived from the signature length
-    banded = sigs.select(
+def _band_sigs(sigs: DataFrame, n_bands: int, id_col: str) -> DataFrame:
+    """(id, band, band_sig) — signature sliced into n_bands keys."""
+    return sigs.select(
         id_col,
         F.posexplode(
             F.transform(
@@ -153,9 +155,20 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
                     b * (F.size("signature") / n_bands).cast("int") + 1,
                     (F.size("signature") / n_bands).cast("int")),
             )).alias("band", "band_sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join on (band, band-signature) —
+    the bucket join that replaces the O(n^2) comparison. Returns
+    distinct candidate pairs (id_a < id_b)."""
+    banded = _band_sigs(sigs, n_bands, id_col)
     # persist before the self-join: otherwise each side recomputes the
     # signature stage — two full corpus scans for keys that are a few
-    # longs per (doc, band)
+    # longs per (doc, band). NB persisted DISK blocks live until the
+    # job/context releases them — a caller invoking this in a loop
+    # (long-lived app) should .unpersist() via its own banding +
+    # lsh_candidate_pairs_between instead.
     from pyspark import StorageLevel
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
@@ -166,6 +179,29 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_between(sigs_new: DataFrame, sigs_all: DataFrame,
+                                n_bands: int,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs where at least one side is in
+    ``sigs_new`` (which must be a subset of ``sigs_all``): bands each
+    side and equi-joins new-banded x all-banded on (band, band_sig) —
+    per-batch cost scales with the NEW side's bucket collisions, never
+    a store-vs-store self-join. Pairs are normalized to id_a < id_b
+    (a new-new pair appears from both orientations and dedups)."""
+    a = _band_sigs(sigs_new, n_bands, id_col).alias("a")
+    b = _band_sigs(sigs_all, n_bands, id_col).alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+                .alias("id_a"),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+                .alias("id_b"))
         .distinct()
     )
 
@@ -252,7 +288,8 @@ def simhash_docs(docs: DataFrame, n_bits: int = 32, id_col: str = "doc_id",
                 sh = int(((votes > 0).astype(np.int64) << shifts).sum())
                 ids.append(rid)
                 shs.append(sh)
-            yield pd.DataFrame({id_col: ids, "sh": shs})
+            if ids:
+                yield pd.DataFrame({id_col: ids, "sh": shs})
 
     # preserve the caller's id type (long ids must stay long: a string
     # schema would both crash Arrow conversion and make downstream

@@ -192,15 +192,22 @@ def kmeans_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 20,
     recall (a dead list means its vectors hide behind a far
     centroid)."""
     rng = np.random.default_rng(seed)
-    k = min(n_centroids, len(sample))
     sample = np.asarray(sample, "float64")
-    first = rng.integers(len(sample))
+    if len(sample) == 0:
+        return sample.reshape(0, sample.shape[1] if sample.ndim > 1 else 0)
+    k = min(n_centroids, len(sample))
+    first = int(rng.integers(len(sample)))
     chosen = [first]
     d2 = ((sample - sample[first]) ** 2).sum(-1)
     for _ in range(k - 1):
         tot = d2.sum()
         if tot <= 0:
-            chosen.append(int(rng.integers(len(sample))))
+            # all remaining points coincide with a centroid: pick any
+            # not-yet-chosen index rather than duplicating one
+            rest = np.setdiff1d(np.arange(len(sample)), chosen)
+            if rest.size == 0:
+                break
+            chosen.append(int(rng.choice(rest)))
         else:
             chosen.append(int(rng.choice(len(sample), p=d2 / tot)))
         d2 = np.minimum(d2, ((sample - sample[chosen[-1]]) ** 2).sum(-1))

@@ -11,7 +11,8 @@ bytes) and a vectorized mapInPandas decodes each batch:
     -> (doc_id, tokens array<double>, n_tok, fps, n_channels, source)
 
 matching the engine's canonical docs shape, so the whole feature
-battery runs on real audio unchanged.
+battery runs on real audio unchanged. ``doc_id`` is the full file
+path without extension (unique across shard directories).
 
 Semantics mirrored from the reference:
 - mono mixdown = mean over channels (audio.py:131-132), the same fold
@@ -84,7 +85,10 @@ def read_wav_docs(spark: SparkSession, path: str, mono: bool = True,
                     peak = np.abs(samples).max()
                     if peak > 0:
                         samples = samples / peak
-                base = os.path.splitext(os.path.basename(p))[0]
+                # doc_id from the FULL path (extension stripped):
+                # same-basename files in different shards must not
+                # collide into one doc
+                base = os.path.splitext(p)[0]
                 rows.append((base, samples.tolist(), len(samples),
                              fps, ch, p))
             yield pd.DataFrame(rows, columns=[

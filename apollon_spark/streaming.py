@@ -195,30 +195,35 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
     """
     from pyspark.sql import functions as F
 
-    from .ml.dedup import lsh_candidate_pairs, minhash_docs
+    from .ml.dedup import minhash_docs
 
     stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
               .parquet(src_path))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from .ml.dedup import lsh_candidate_pairs_between
+
         batch_df = batch_df.where(F.size("tokens") >= shingle_k)
         sigs_new = minhash_docs(batch_df, n_hashes, shingle_k, seed).cache()
         try:
             try:
-                store = spark.read.parquet(store_path).drop("epoch")
-            except Exception:
-                store = None
-            sigs_all = (sigs_new if store is None
-                        else store.unionByName(sigs_new))
-            # candidates restricted to pairs touching this batch: the
-            # store-vs-store pairs were emitted by earlier batches
-            new_ids = sigs_new.select(
-                F.col("doc_id").alias("new_id")).distinct()
-            cand = (lsh_candidate_pairs(sigs_all, n_bands)
-                    .join(F.broadcast(new_ids),
-                          (F.col("id_a") == F.col("new_id"))
-                          | (F.col("id_b") == F.col("new_id")), "leftsemi")
-                    .dropDuplicates(["id_a", "id_b"]))
+                # exclude THIS epoch: a replayed batch must not see its
+                # own prior partial attempt (it would double every doc)
+                store = (spark.read.parquet(store_path)
+                         .where(F.col("epoch") != epoch_id).drop("epoch"))
+                sigs_all = store.unionByName(sigs_new)
+            except AnalysisException:
+                # first batch only (path not created yet); any OTHER
+                # read failure must surface, not silently skip the
+                # cross-corpus dedup
+                sigs_all = sigs_new
+            # batch-banded x all-banded equi-join: per-batch cost
+            # scales with the batch's bucket collisions, never a
+            # store-vs-store self-join
+            cand = lsh_candidate_pairs_between(sigs_new, sigs_all,
+                                               n_bands)
             est = F.aggregate(
                 F.zip_with("sig_a", "sig_b",
                            lambda a, b: (a == b).cast("int")),

@@ -209,3 +209,19 @@ def test_signature_ops_preserve_long_ids(spark):
     # numeric ordering must give (2, 9), and 10 > 9 numerically even
     # though "10" < "9" lexicographically
     assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(2, 9)]
+
+
+def test_neardup_pipeline_tolerates_short_docs(spark):
+    """Docs shorter than shingle_k must not crash the pipeline
+    (token_shingles previously built a DESCENDING sequence through
+    index 0 for them): they simply produce no shingles and no pairs."""
+    pdf = pd.DataFrame({
+        "doc_id": ["long1", "long2", "tiny", "empty"],
+        "tokens": [[1, 2, 3, 4, 5], [1, 2, 3, 4, 5], [7], []]})
+    df = spark.createDataFrame(pdf)
+    out = dedup.minhash_dedup_pairs(df, n_hashes=8, n_bands=4,
+                                    shingle_k=3, threshold=0.5).toPandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {("long1", "long2")}
+    sh = df.select(dedup.token_shingles(F.col("tokens"), 3).alias("s")) \
+        .toPandas()
+    assert [len(x) for x in sh["s"]] == [3, 3, 0, 0]

@@ -50,7 +50,10 @@ def test_read_wav_docs_mono_and_battery(spark, tmp_path):
 
     docs = read_wav_docs(spark, str(d)).orderBy("doc_id")
     got = docs.toPandas()
-    assert list(got["doc_id"]) == ["noise", "tone"]
+    # doc_id = full path sans extension (collision-safe across shard
+    # dirs); order noise < tone holds on the shared-prefix paths
+    assert [p.rsplit("/", 1)[-1] for p in got["doc_id"]] == \
+        ["noise", "tone"]
     assert list(got["n_tok"]) == [3000, 4000]
     assert list(got["n_channels"]) == [1, 2]
 
@@ -67,7 +70,7 @@ def test_read_wav_docs_mono_and_battery(spark, tmp_path):
         docs.select("doc_id", "tokens", "n_tok", "source"), cfg)
     out = feats.toPandas()
     assert len(out) > 0
-    tone = out[out["doc_id"] == "tone"]
+    tone = out[out["doc_id"].str.endswith("tone")]
     # mixdown = (0.5*sin440 + 0.25*sin880)/2: magnitude-weighted
     # centroid ~ (440*0.25 + 880*0.125)/0.375 ~ 587 Hz (+ leakage)
     mid = tone.iloc[len(tone) // 2]
