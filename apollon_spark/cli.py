@@ -24,7 +24,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stage", required=True,
                     choices=["features", "onsets", "hmm", "som",
                              "position", "export", "nonlinear",
-                             "dedup", "neardup", "ann", "textstats"])
+                             "dedup", "neardup", "ann", "textstats",
+                             "ingest", "stream-neardup"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-perseg", type=int, default=512)
@@ -55,6 +56,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--n-queries", type=int, default=8,
                     help="ann: use the first N vectors as queries")
+    ap.add_argument("--ingest-buckets", type=int, default=0,
+                    help="ingest: bucket count for the co-located "
+                         "docs layout (0 = plain parquet)")
+    ap.add_argument("--table-name", default="docs",
+                    help="ingest: catalog table name when bucketing")
+    ap.add_argument("--checkpoint", default=None,
+                    help="stream-neardup: checkpoint dir")
+    ap.add_argument("--store", default=None,
+                    help="stream-neardup: signature store dir")
     ap.add_argument("--input-format", choices=["table", "wav"],
                     default="table",
                     help="'table' = parquet/Iceberg docs table; 'wav' = "
@@ -134,6 +144,35 @@ def main(argv: list[str] | None = None) -> int:
     elif args.stage == "textstats":
         from .ml.textstats import text_profile
         storage.write_table(text_profile(docs, args.text_col), args.output)
+    elif args.stage == "ingest":
+        # raw documents table -> canonical tokenized docs table, in
+        # the SCALE.md layout: bucketed by doc_id (co-located joins +
+        # resume granularity), sorted by n_tok (whales cluster into
+        # few row groups)
+        from .tokenize import docs_from_documents
+        out = docs_from_documents(spark, args.input.rsplit(
+            "/documents.parquet", 1)[0]) if args.input.endswith(
+            "documents.parquet") else docs
+        if args.ingest_buckets > 0:
+            storage.write_bucketed(out, args.table_name, ["doc_id"],
+                                   args.ingest_buckets,
+                                   sort_cols=["n_tok"], path=args.output)
+        else:
+            storage.write_table(out, args.output)
+        print(json.dumps({"rows": storage.read_table(
+            spark, args.output).count()}))
+    elif args.stage == "stream-neardup":
+        from .streaming import stream_minhash_neardup
+        if not (args.checkpoint and args.store):
+            raise SystemExit("stream-neardup requires --checkpoint "
+                             "and --store")
+        q = stream_minhash_neardup(
+            spark, args.input, args.store, args.output, args.checkpoint,
+            n_hashes=args.n_hashes, n_bands=args.n_bands,
+            shingle_k=args.shingle_k, threshold=args.threshold)
+        q.awaitTermination()
+        print(json.dumps({"pairs": storage.read_table(
+            spark, args.output).count()}))
     elif args.stage == "export":
         if args.export_format == "csv":
             storage.write_csv(docs, args.output)
