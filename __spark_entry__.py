@@ -237,6 +237,16 @@ def _q_asof_tolerance(spark, sf_dir):
                      tolerance=3_600_000_000.0)
 
 
+def _q_asof_forward(spark, sf_dir):
+    # next purchase AT OR AFTER each click (forward as-of); oracled in
+    # DuckDB by ASOF-joining on negated times
+    from apollon_spark.operators.asof import asof_join
+    clicks, purch = _click_purchase(spark, sf_dir)
+    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
+                     value_cols=["purchase_value"], strategy="union",
+                     direction="forward")
+
+
 def _q_asof_strict(spark, sf_dir):
     # allow_exact=False: a purchase at exactly the click time no longer
     # matches (strict rt < t)
@@ -660,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_union": _q_asof_union,
         "asof_bucketed": _q_asof_bucketed,
         "asof_tolerance": _q_asof_tolerance,
+        "asof_forward": _q_asof_forward,
         "asof_strict": _q_asof_strict,
         "sessionize": _q_sessionize,
         "locf": _q_locf,
@@ -1038,6 +1049,16 @@ SELECT c.user_id, c.event_id, c.t_us,
        CASE WHEN c.t_us - p.rt <= 3600000000
             THEN p.purchase_value END AS purchase_value
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.rt
+""",
+        "asof_forward": """
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                  -epoch_us(ts) AS neg_t
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, -epoch_us(ts) AS neg_rt,
+                  round(value, 6) AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.neg_t >= p.neg_rt
 """,
         "asof_strict": """
 WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us

@@ -51,17 +51,38 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               value_cols: Sequence[str] | None = None,
               allow_exact: bool = True, strategy: str = "union",
               bucket_width: float | None = None,
-              tolerance: float | None = None) -> DataFrame:
+              tolerance: float | None = None,
+              direction: str = "backward") -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right_on <= on`` (or ``<`` when not ``allow_exact``) within the
     same ``by`` group. Left rows with no match keep nulls.
 
     ``tolerance``: optional max allowed ``on - right_on`` distance;
     matches further back are nulled (pd.merge_asof semantics).
+
+    ``direction``: ``"backward"`` (default, the point-in-time-correct
+    lookback) or ``"forward"`` — the EARLIEST right row with
+    ``right_on >= on`` (next event after t; pd.merge_asof parity).
+    Forward is implemented by time negation and delegates to the
+    backward machinery, so every strategy / tolerance / allow_exact
+    combination behaves identically; tolerance then bounds
+    ``right_on - on``.
     """
     by = [by] if isinstance(by, str) else list(by)
     right_on = right_on or on
     value_cols = _prep(left, right, on, right_on, by, value_cols)
+    if direction == "forward":
+        neg_on, neg_rt = f"__neg_{on}", f"__neg_{right_on}__r"
+        l2 = left.withColumn(neg_on, -F.col(on).cast("double"))
+        r2 = right.withColumn(neg_rt, -F.col(right_on).cast("double")) \
+                  .drop(right_on)
+        out = asof_join(l2, r2, on=neg_on, by=by, right_on=neg_rt,
+                        value_cols=value_cols, allow_exact=allow_exact,
+                        strategy=strategy, bucket_width=bucket_width,
+                        tolerance=tolerance, direction="backward")
+        return out.drop(neg_on)
+    if direction != "backward":
+        raise ValueError(f"unknown direction {direction!r}")
     if strategy == "union":
         return _asof_union(left, right, on, right_on, by, value_cols,
                            allow_exact, tolerance)

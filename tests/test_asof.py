@@ -146,3 +146,50 @@ def test_asof_strategies_agree_property(spark, lts, rts, width,
             .reset_index(drop=True)[["key", "t", "eid", "rval"]]
     pd.testing.assert_frame_equal(frames["union"], frames["pandas"])
     pd.testing.assert_frame_equal(frames["bucketed"], frames["pandas"])
+
+
+def test_asof_forward_matches_pandas(spark):
+    """direction='forward' == pd.merge_asof(direction='forward') on a
+    random fixture, for both strategies and with tolerance."""
+    import numpy as np
+    import pandas as pd
+    from apollon_spark.operators.asof import asof_join
+    rng = np.random.default_rng(11)
+    lpdf = pd.DataFrame({
+        "k": rng.integers(0, 4, 60),
+        "t": np.sort(rng.integers(0, 1000, 60)).astype("int64"),
+        "lid": np.arange(60)})
+    # unique rt per key: duplicate (k, rt) rows make "the next event"
+    # ambiguous (pandas breaks such ties by row position, a notion a
+    # distributed sort does not have)
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 4, 40),
+        "rt": np.sort(rng.choice(1000, 40, replace=False)).astype("int64"),
+        "val": rng.random(40).round(6)})
+    want = pd.merge_asof(
+        lpdf.sort_values("t"), rpdf.sort_values("rt"),
+        left_on="t", right_on="rt", by="k",
+        direction="forward").sort_values("lid")
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for strategy, kw in (("union", {}),
+                         ("bucketed", {"bucket_width": 100.0})):
+        got = asof_join(left, right, on="t", by="k", right_on="rt",
+                        value_cols=["val"], strategy=strategy,
+                        direction="forward", **kw) \
+            .toPandas().sort_values("lid")
+        np.testing.assert_allclose(
+            got["val"].to_numpy(dtype="float64"),
+            want["val"].to_numpy(dtype="float64"), equal_nan=True)
+
+    # forward + tolerance: matches further ahead than 50 are nulled
+    want_tol = pd.merge_asof(
+        lpdf.sort_values("t"), rpdf.sort_values("rt"),
+        left_on="t", right_on="rt", by="k",
+        direction="forward", tolerance=50).sort_values("lid")
+    got_tol = asof_join(left, right, on="t", by="k", right_on="rt",
+                        value_cols=["val"], direction="forward",
+                        tolerance=50.0).toPandas().sort_values("lid")
+    np.testing.assert_allclose(
+        got_tol["val"].to_numpy(dtype="float64"),
+        want_tol["val"].to_numpy(dtype="float64"), equal_nan=True)
