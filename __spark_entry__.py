@@ -247,6 +247,17 @@ def _q_asof_forward(spark, sf_dir):
                      direction="forward")
 
 
+def _q_asof_nearest(spark, sf_dir):
+    # closest purchase either side of each click, ties to backward;
+    # oracled by combining a backward and a (negated-time) forward
+    # ASOF join with the same distance chooser
+    from apollon_spark.operators.asof import asof_join
+    clicks, purch = _click_purchase(spark, sf_dir)
+    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
+                     value_cols=["purchase_value"], strategy="union",
+                     direction="nearest")
+
+
 def _q_asof_strict(spark, sf_dir):
     # allow_exact=False: a purchase at exactly the click time no longer
     # matches (strict rt < t)
@@ -671,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_bucketed": _q_asof_bucketed,
         "asof_tolerance": _q_asof_tolerance,
         "asof_forward": _q_asof_forward,
+        "asof_nearest": _q_asof_nearest,
         "asof_strict": _q_asof_strict,
         "sessionize": _q_sessionize,
         "locf": _q_locf,
@@ -1059,6 +1071,26 @@ WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
            FROM events WHERE event_type = 'purchase')
 SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.neg_t >= p.neg_rt
+""",
+        "asof_nearest": """
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                  -epoch_us(ts) AS neg_t
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_us(ts) AS rt, -epoch_us(ts) AS neg_rt,
+                  round(value, 6) AS purchase_value
+           FROM events WHERE event_type = 'purchase'),
+b AS (SELECT c.event_id, p.rt AS brt, p.purchase_value AS bval
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.t_us >= p.rt),
+f AS (SELECT c.event_id, p.rt AS frt, p.purchase_value AS fval
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.neg_t >= p.neg_rt)
+SELECT c.user_id, c.event_id, c.t_us,
+       CASE WHEN b.brt IS NULL THEN f.fval
+            WHEN f.frt IS NULL THEN b.bval
+            WHEN (f.frt - c.t_us) < (c.t_us - b.brt) THEN f.fval
+            ELSE b.bval END AS purchase_value
+FROM c JOIN b USING (event_id) JOIN f USING (event_id)
 """,
         "asof_strict": """
 WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us

@@ -61,12 +61,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     matches further back are nulled (pd.merge_asof semantics).
 
     ``direction``: ``"backward"`` (default, the point-in-time-correct
-    lookback) or ``"forward"`` — the EARLIEST right row with
-    ``right_on >= on`` (next event after t; pd.merge_asof parity).
-    Forward is implemented by time negation and delegates to the
-    backward machinery, so every strategy / tolerance / allow_exact
-    combination behaves identically; tolerance then bounds
-    ``right_on - on``.
+    lookback), ``"forward"`` — the EARLIEST right row with
+    ``right_on >= on`` (next event after t), or ``"nearest"`` —
+    whichever side is closer in absolute distance, ties to backward
+    (pd.merge_asof parity for all three). Forward is implemented by
+    time negation and delegates to the backward machinery, so every
+    strategy / tolerance / allow_exact combination behaves
+    identically; tolerance then bounds ``right_on - on``. Nearest
+    runs natively in the union strategy (both directions filled from
+    ONE sort — no extra shuffle) and in the pandas baseline; the
+    bucketed strategy does not support it.
     """
     by = [by] if isinstance(by, str) else list(by)
     right_on = right_on or on
@@ -81,28 +85,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                         strategy=strategy, bucket_width=bucket_width,
                         tolerance=tolerance, direction="backward")
         return out.drop(neg_on)
-    if direction != "backward":
+    if direction not in ("backward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     if strategy == "union":
         return _asof_union(left, right, on, right_on, by, value_cols,
-                           allow_exact, tolerance)
+                           allow_exact, tolerance, direction)
     if strategy == "bucketed":
+        if direction == "nearest":
+            raise ValueError("nearest direction: use the union or "
+                             "pandas strategy")
         if bucket_width is None:
             raise ValueError("bucketed strategy requires bucket_width")
         return _asof_bucketed(left, right, on, right_on, by, value_cols,
                               allow_exact, bucket_width, tolerance)
     if strategy == "pandas":
         return _asof_pandas(left, right, on, right_on, by, value_cols,
-                            allow_exact, tolerance)
+                            allow_exact, tolerance, direction)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
 def _apply_tolerance(out: DataFrame, on: str, value_cols: Sequence[str],
-                     tolerance: float | None) -> DataFrame:
+                     tolerance: float | None,
+                     absolute: bool = False) -> DataFrame:
     if tolerance is None:
         return out.drop(_RT)
-    ok = F.col(_RT).isNotNull() & (
-        (F.col(on).cast("double") - F.col(_RT)) <= tolerance)
+    delta = F.col(on).cast("double") - F.col(_RT)
+    if absolute:           # nearest: bound |t - rt| either direction
+        delta = F.abs(delta)
+    ok = F.col(_RT).isNotNull() & (delta <= tolerance)
     for c in value_cols:
         out = out.withColumn(c, F.when(ok, F.col(c)))
     return out.drop(_RT)
@@ -110,7 +120,8 @@ def _apply_tolerance(out: DataFrame, on: str, value_cols: Sequence[str],
 
 def _asof_union(left: DataFrame, right: DataFrame, on: str, right_on: str,
                 by: list, value_cols: list, allow_exact: bool,
-                tolerance: float | None) -> DataFrame:
+                tolerance: float | None,
+                direction: str = "backward") -> DataFrame:
     left_cols = left.columns
     # right rows sort BEFORE left rows at equal time when exact matches
     # are allowed, after them otherwise
@@ -131,14 +142,50 @@ def _asof_union(left: DataFrame, right: DataFrame, on: str, right_on: str,
         [c for c in left_cols if c not in by and c != on] + value_cols
     unioned = lhs.select(cols).unionByName(rhs.select(cols))
 
-    w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(_TAG).asc())
+    order = [F.col(on).asc(), F.col(_TAG).asc()]
+    w = (Window.partitionBy(*by).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = unioned.select(
-        "*",
+    fills = [
         *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
           for c in value_cols],
         F.last(_RT, ignorenulls=True).over(w).alias(f"__f_{_RT}"),
-    )
+    ]
+    if direction == "nearest":
+        # mirrored fill over the FOLLOWING rows. The forward ordering
+        # flips the tag (on asc, tag DESC): equal-time right rows then
+        # sort AFTER the left row when exact matches are allowed
+        # (visible to [0, following]) and BEFORE it in strict mode
+        # (excluded) — the exact mirror of the backward tag trick.
+        # Same partitioning hash: one exchange serves both fills.
+        wf = (Window.partitionBy(*by)
+              .orderBy(F.col(on).asc(), F.col(_TAG).desc())
+              .rowsBetween(0, Window.unboundedFollowing))
+        fills += [
+            *[F.first(c, ignorenulls=True).over(wf).alias(f"__g_{c}")
+              for c in value_cols],
+            F.first(_RT, ignorenulls=True).over(wf).alias(f"__g_{_RT}"),
+        ]
+    filled = unioned.select("*", *fills)
+
+    if direction == "nearest":
+        t = F.col(on).cast("double")
+        b_rt, g_rt = F.col(f"__f_{_RT}"), F.col(f"__g_{_RT}")
+        delta_b = t - b_rt
+        delta_f = g_rt - t
+        valid_f = g_rt.isNotNull() & \
+            ((delta_f > 0) if not allow_exact else F.lit(True))
+        valid_b = b_rt.isNotNull()
+        use_f = valid_f & (~valid_b | (delta_f < delta_b))
+        sel_vals = [
+            F.when(use_f, F.col(f"__g_{c}"))
+            .when(valid_b, F.col(f"__f_{c}")).alias(c)
+            for c in value_cols]
+        sel_rt = F.when(use_f, g_rt).when(valid_b, b_rt).alias(_RT)
+        out = (filled.where(F.col(_TAG) == l_tag)
+               .select(*[c for c in left_cols], *sel_vals, sel_rt))
+        return _apply_tolerance(out, on, value_cols, tolerance,
+                                absolute=True)
+
     out = (
         filled.where(F.col(_TAG) == l_tag)
         .select(*[c for c in left_cols],
@@ -223,7 +270,8 @@ def _asof_bucketed(left: DataFrame, right: DataFrame, on: str,
 
 def _asof_pandas(left: DataFrame, right: DataFrame, on: str, right_on: str,
                  by: list, value_cols: list, allow_exact: bool,
-                 tolerance: float | None) -> DataFrame:
+                 tolerance: float | None,
+                 direction: str = "backward") -> DataFrame:
     """Cogrouped ``pd.merge_asof`` per ``by`` group (exactness
     baseline; whole groups must fit in a pandas frame)."""
     from pyspark.sql.types import StructType
@@ -237,7 +285,7 @@ def _asof_pandas(left: DataFrame, right: DataFrame, on: str, right_on: str,
         merged = pd.merge_asof(
             lpart, rpart, left_on=on, right_on=right_on,
             allow_exact_matches=allow_exact, tolerance=tolerance,
-            direction="backward", suffixes=("", "__r"))
+            direction=direction, suffixes=("", "__r"))
         if right_on in lcols:
             merged = merged.drop(columns=[right_on + "__r"])
         else:

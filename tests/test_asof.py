@@ -193,3 +193,41 @@ def test_asof_forward_matches_pandas(spark):
     np.testing.assert_allclose(
         got_tol["val"].to_numpy(dtype="float64"),
         want_tol["val"].to_numpy(dtype="float64"), equal_nan=True)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lts=st.lists(st.integers(0, 200), min_size=1, max_size=25),
+    rts=st.lists(st.integers(0, 200), min_size=1, max_size=20,
+                 unique=True),
+    allow_exact=st.booleans(),
+    tol=st.one_of(st.none(), st.integers(5, 60)),
+)
+def test_asof_nearest_matches_pandas_property(spark, lts, rts,
+                                              allow_exact, tol):
+    """direction='nearest' == pd.merge_asof(direction='nearest') for
+    random fixtures across allow_exact and tolerance (rts unique —
+    duplicate right keys make the tie arbitrary)."""
+    import numpy as np
+    import pandas as pd
+    from apollon_spark.operators.asof import asof_join
+    lpdf = pd.DataFrame({
+        "k": [1] * len(lts), "t": np.sort(np.array(lts, "int64")),
+        "lid": np.arange(len(lts))})
+    rpdf = pd.DataFrame({
+        "k": [1] * len(rts), "rt": np.sort(np.array(rts, "int64"))})
+    rpdf["val"] = np.arange(len(rts), dtype="float64")
+    want = pd.merge_asof(
+        lpdf, rpdf, left_on="t", right_on="rt", by="k",
+        direction="nearest", allow_exact_matches=allow_exact,
+        tolerance=tol).sort_values("lid")
+    got = asof_join(spark.createDataFrame(lpdf),
+                    spark.createDataFrame(rpdf),
+                    on="t", by="k", right_on="rt", value_cols=["val"],
+                    allow_exact=allow_exact,
+                    tolerance=float(tol) if tol is not None else None,
+                    direction="nearest").toPandas().sort_values("lid")
+    np.testing.assert_allclose(
+        got["val"].to_numpy("float64"), want["val"].to_numpy("float64"),
+        equal_nan=True)
