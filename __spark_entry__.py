@@ -289,6 +289,20 @@ def _q_locf(spark, sf_dir):
                          F.round("click_value", 6).alias("click_value"))
 
 
+def _q_locf_limit(spark, sf_dir):
+    # bounded forward fill (pandas ffill(limit=3)): observations stop
+    # propagating after 3 rows — stale-data guard for LOCF features
+    from apollon_spark.operators.backfill import locf
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .alias("click_value"))
+    filled = locf(ev, ["click_value"], on="t_us", by="user_id", limit=3)
+    return filled.select("user_id", "event_id",
+                         F.round("click_value", 6).alias("click_value"))
+
+
 def _q_lag_delta(spark, sf_dir):
     from apollon_spark.operators.backfill import lag_lead_delta
     ev = _events(spark, sf_dir).select(
@@ -686,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_strict": _q_asof_strict,
         "sessionize": _q_sessionize,
         "locf": _q_locf,
+        "locf_limit": _q_locf_limit,
         "lag_delta": _q_lag_delta,
         "dedup_exact": _q_dedup_exact,
         "minhash": _q_minhash,
@@ -1134,6 +1149,19 @@ SELECT user_id, event_id,
        round(last_value(cv IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY t_us
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS click_value
+FROM e
+""",
+        "locf_limit": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type = 'click' THEN value END AS cv
+  FROM events
+)
+SELECT user_id, event_id,
+       round(last_value(cv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY t_us
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
          AS click_value
 FROM e
 """,

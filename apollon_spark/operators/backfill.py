@@ -20,12 +20,19 @@ def _by(by) -> list:
 
 
 def locf(df: DataFrame, cols: Sequence[str], on: str,
-         by: str | Sequence[str] = (), backwards: bool = False) -> DataFrame:
+         by: str | Sequence[str] = (), backwards: bool = False,
+         limit: int | None = None) -> DataFrame:
     """Last-observation-carried-forward over nulls (forward fill);
-    ``backwards=True`` gives next-observation-carried-backward."""
+    ``backwards=True`` gives next-observation-carried-backward.
+
+    ``limit``: carry at most ``limit`` ROWS past the observation
+    (pandas ``ffill(limit=n)`` semantics) — stale observations stop
+    propagating; rows further away stay null. Still one window over
+    one shuffle, just a bounded frame."""
     order = F.col(on).desc() if backwards else F.col(on).asc()
+    lo = Window.unboundedPreceding if limit is None else -limit
     w = (Window.partitionBy(*_by(by)).orderBy(order)
-         .rowsBetween(Window.unboundedPreceding, 0))
+         .rowsBetween(lo, 0))
     out = df
     for c in cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))

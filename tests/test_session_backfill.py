@@ -125,3 +125,21 @@ def test_delay_embed_cols(spark):
     assert len(out) == 50 - 6
     np.testing.assert_allclose(out["v_d1"], out["v"] + 3)
     np.testing.assert_allclose(out["v_d2"], out["v"] + 6)
+
+
+def test_locf_limit_matches_pandas_ffill(spark):
+    """locf(limit=n) == pandas ffill(limit=n) row-for-row."""
+    import numpy as np
+    import pandas as pd
+    from apollon_spark.operators.backfill import locf
+    rng = np.random.default_rng(3)
+    vals = rng.random(50).round(6)
+    vals[rng.random(50) < 0.6] = np.nan
+    pdf = pd.DataFrame({"k": rng.integers(0, 3, 50),
+                        "t": np.arange(50, dtype="int64"), "v": vals})
+    want = pdf.sort_values(["k", "t"]).copy()
+    want["v"] = want.groupby("k")["v"].ffill(limit=2)
+    got = locf(spark.createDataFrame(pdf), ["v"], on="t", by="k",
+               limit=2).toPandas().sort_values(["k", "t"])
+    np.testing.assert_allclose(got["v"].to_numpy(), want["v"].to_numpy(),
+                               equal_nan=True)
