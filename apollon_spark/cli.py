@@ -74,7 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     spark = get_spark(f"apollon-{args.stage}")
-    if args.input_format == "wav":
+    if args.stage in ("ingest", "stream-neardup"):
+        docs = None       # these stages interpret --input themselves
+    elif args.input_format == "wav":
         from .sources.wav import read_wav_docs
         docs = read_wav_docs(spark, args.input)
     else:
@@ -149,18 +151,22 @@ def main(argv: list[str] | None = None) -> int:
         # the SCALE.md layout: bucketed by doc_id (co-located joins +
         # resume granularity), sorted by n_tok (whales cluster into
         # few row groups)
+        import os as _os
         from .tokenize import docs_from_documents
-        out = docs_from_documents(spark, args.input.rsplit(
-            "/documents.parquet", 1)[0]) if args.input.endswith(
-            "documents.parquet") else docs
+        if args.input.endswith("documents.parquet"):
+            out = docs_from_documents(
+                spark, _os.path.dirname(args.input) or ".")
+        else:
+            out = storage.read_table(spark, args.input)
         if args.ingest_buckets > 0:
             storage.write_bucketed(out, args.table_name, ["doc_id"],
                                    args.ingest_buckets,
                                    sort_cols=["n_tok"], path=args.output)
+            n = spark.table(args.table_name).count()
         else:
             storage.write_table(out, args.output)
-        print(json.dumps({"rows": storage.read_table(
-            spark, args.output).count()}))
+            n = storage.read_table(spark, args.output).count()
+        print(json.dumps({"rows": n}))
     elif args.stage == "stream-neardup":
         from .streaming import stream_minhash_neardup
         if not (args.checkpoint and args.store):
@@ -171,8 +177,11 @@ def main(argv: list[str] | None = None) -> int:
             n_hashes=args.n_hashes, n_bands=args.n_bands,
             shingle_k=args.shingle_k, threshold=args.threshold)
         q.awaitTermination()
-        print(json.dumps({"pairs": storage.read_table(
-            spark, args.output).count()}))
+        try:
+            n_pairs = spark.read.parquet(args.output).count()
+        except Exception:
+            n_pairs = 0       # no near-dups -> no readable output yet
+        print(json.dumps({"pairs": n_pairs}))
     elif args.stage == "export":
         if args.export_format == "csv":
             storage.write_csv(docs, args.output)

@@ -75,6 +75,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     by = [by] if isinstance(by, str) else list(by)
     right_on = right_on or on
     value_cols = _prep(left, right, on, right_on, by, value_cols)
+    if direction == "forward" and strategy == "pandas":
+        # the baseline IS pandas — use its own forward path directly
+        return _asof_pandas(left, right, on, right_on, by, value_cols,
+                            allow_exact, tolerance, "forward")
     if direction == "forward":
         neg_on, neg_rt = f"__neg_{on}", f"__neg_{right_on}__r"
         l2 = left.withColumn(neg_on, -F.col(on).cast("double"))
@@ -145,11 +149,16 @@ def _asof_union(left: DataFrame, right: DataFrame, on: str, right_on: str,
     order = [F.col(on).asc(), F.col(_TAG).asc()]
     w = (Window.partitionBy(*by).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
-    fills = [
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
-          for c in value_cols],
-        F.last(_RT, ignorenulls=True).over(w).alias(f"__f_{_RT}"),
-    ]
+    # ROW-ATOMIC fill: carry the whole matched right row as one struct
+    # (null on left rows). Per-column last(ignorenulls) would skip a
+    # null VALUE and attach an older row's value to the matched row's
+    # timestamp — pd.merge_asof attaches the matched row verbatim,
+    # NaN values included.
+    match = F.when(
+        F.col(_RT).isNotNull(),
+        F.struct(F.col(_RT).alias("__match_t"),
+                 *[F.col(c).alias(c) for c in value_cols]))
+    fills = [F.last(match, ignorenulls=True).over(w).alias("__b")]
     if direction == "nearest":
         # mirrored fill over the FOLLOWING rows. The forward ordering
         # flips the tag (on asc, tag DESC): equal-time right rows then
@@ -160,16 +169,12 @@ def _asof_union(left: DataFrame, right: DataFrame, on: str, right_on: str,
         wf = (Window.partitionBy(*by)
               .orderBy(F.col(on).asc(), F.col(_TAG).desc())
               .rowsBetween(0, Window.unboundedFollowing))
-        fills += [
-            *[F.first(c, ignorenulls=True).over(wf).alias(f"__g_{c}")
-              for c in value_cols],
-            F.first(_RT, ignorenulls=True).over(wf).alias(f"__g_{_RT}"),
-        ]
+        fills.append(F.first(match, ignorenulls=True).over(wf).alias("__g"))
     filled = unioned.select("*", *fills)
 
     if direction == "nearest":
         t = F.col(on).cast("double")
-        b_rt, g_rt = F.col(f"__f_{_RT}"), F.col(f"__g_{_RT}")
+        b_rt, g_rt = F.col("__b.__match_t"), F.col("__g.__match_t")
         delta_b = t - b_rt
         delta_f = g_rt - t
         valid_f = g_rt.isNotNull() & \
@@ -177,8 +182,8 @@ def _asof_union(left: DataFrame, right: DataFrame, on: str, right_on: str,
         valid_b = b_rt.isNotNull()
         use_f = valid_f & (~valid_b | (delta_f < delta_b))
         sel_vals = [
-            F.when(use_f, F.col(f"__g_{c}"))
-            .when(valid_b, F.col(f"__f_{c}")).alias(c)
+            F.when(use_f, F.col(f"__g.{c}"))
+            .when(valid_b, F.col(f"__b.{c}")).alias(c)
             for c in value_cols]
         sel_rt = F.when(use_f, g_rt).when(valid_b, b_rt).alias(_RT)
         out = (filled.where(F.col(_TAG) == l_tag)
@@ -189,8 +194,8 @@ def _asof_union(left: DataFrame, right: DataFrame, on: str, right_on: str,
     out = (
         filled.where(F.col(_TAG) == l_tag)
         .select(*[c for c in left_cols],
-                *[F.col(f"__f_{c}").alias(c) for c in value_cols],
-                F.col(f"__f_{_RT}").alias(_RT))
+                *[F.col(f"__b.{c}").alias(c) for c in value_cols],
+                F.col("__b.__match_t").alias(_RT))
     )
     return _apply_tolerance(out, on, value_cols, tolerance)
 

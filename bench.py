@@ -75,7 +75,7 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
     # best-of-N: this box shows multi-second JVM stalls (GC/heap
     # growth) that can double a run at random; the best run is the
     # intrinsic throughput the scaling criterion is about
-    n_runs = int(os.environ.get("BENCH_RUNS", 3))
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", 3)))
     runs, n_segs = [], 0
     for _ in range(n_runs):
         t0 = time.time()
@@ -113,7 +113,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     # best-of-N per query (default 2): this box's random JVM stalls
     # can double a single cold run; same policy as the features bench
-    n_runs = int(os.environ.get("BENCH_QUERY_RUNS", 2))
+    n_runs = max(1, int(os.environ.get("BENCH_QUERY_RUNS", 2)))
     out = {}
     for name in names:
         best = None

@@ -231,3 +231,33 @@ def test_asof_nearest_matches_pandas_property(spark, lts, rts,
     np.testing.assert_allclose(
         got["val"].to_numpy("float64"), want["val"].to_numpy("float64"),
         equal_nan=True)
+
+
+def test_asof_attaches_matched_row_verbatim_with_null_values(spark):
+    """pd.merge_asof parity when right VALUE columns contain nulls:
+    the matched row's value is attached verbatim (NaN included) — a
+    per-column ignorenulls fill would smuggle an older row's value
+    under the matched row's timestamp (code-review r02 finding)."""
+    lpdf = pd.DataFrame({"k": [1, 1], "t": np.array([4, 20], "int64"),
+                         "lid": [0, 1]})
+    rpdf = pd.DataFrame({
+        "k": [1, 1, 1],
+        "rt": np.array([1, 3, 9], "int64"),
+        "val": [7.0, np.nan, 5.0]})
+    left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    # backward at t=4 matches rt=3 whose val is NaN -> NaN, not 7.0
+    for strategy, kw in (("union", {}), ("bucketed", {"bucket_width": 4.0}),
+                         ("pandas", {})):
+        got = asof_join(left, right, on="t", by="k", right_on="rt",
+                        value_cols=["val"], strategy=strategy, **kw) \
+            .toPandas().sort_values("lid")
+        assert np.isnan(got.iloc[0]["val"]), strategy
+        assert got.iloc[1]["val"] == 5.0, strategy
+    # nearest at t=4: rt=3 (dist 1) beats rt=9 (dist 5); its val is NaN
+    got_n = asof_join(left, right, on="t", by="k", right_on="rt",
+                      value_cols=["val"], direction="nearest") \
+        .toPandas().sort_values("lid")
+    want_n = pd.merge_asof(lpdf, rpdf, left_on="t", right_on="rt",
+                           by="k", direction="nearest")
+    np.testing.assert_allclose(got_n["val"].to_numpy(),
+                               want_n["val"].to_numpy(), equal_nan=True)
