@@ -303,6 +303,19 @@ def _q_locf_limit(spark, sf_dir):
                          F.round("click_value", 6).alias("click_value"))
 
 
+def _q_rolling_median(spark, sf_dir):
+    # order-statistic rolling window (exact percentile, interpolated
+    # identically by Spark's percentile and DuckDB's quantile_cont)
+    ev = _events(spark, sf_dir).selectExpr(
+        "user_id", "event_id",
+        "unix_micros(cast(ts as timestamp)) AS t_us", "value")
+    return ev.selectExpr(
+        "user_id", "event_id", "t_us",
+        "round(percentile(value, 0.5) OVER (PARTITION BY user_id "
+        "ORDER BY t_us ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 6) "
+        "AS med")
+
+
 def _q_lag_delta(spark, sf_dir):
     from apollon_spark.operators.backfill import lag_lead_delta
     ev = _events(spark, sf_dir).select(
@@ -701,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "locf": _q_locf,
         "locf_limit": _q_locf_limit,
+        "rolling_median": _q_rolling_median,
         "lag_delta": _q_lag_delta,
         "dedup_exact": _q_dedup_exact,
         "minhash": _q_minhash,
@@ -1151,6 +1165,13 @@ SELECT user_id, event_id,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
          AS click_value
 FROM e
+""",
+        "rolling_median": """
+SELECT user_id, event_id, epoch_us(ts) AS t_us,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 6) AS med
+FROM events
 """,
         "locf_limit": """
 WITH e AS (
