@@ -228,44 +228,31 @@ def _q_asof_bucketed(spark, sf_dir):
                      bucket_width=3_600_000_000.0)
 
 
-def _q_asof_tolerance(spark, sf_dir):
-    # pd.merge_asof-style tolerance: matches further back than 1h null
+def _q_asof_options(spark, sf_dir):
+    """Every pd.merge_asof option in ONE gate (consolidated so the full
+    registered set fits the driver's 50-query evaluation window):
+    tolerance (matches further back than 1h null), forward (next
+    purchase at-or-after, oracled via negated-time ASOF), nearest
+    (closer of both sides, ties to backward) and strict
+    (allow_exact=False: rt < t). Each variant is tagged by a ``mode``
+    column; per-option property coverage stays in tests/test_asof.py."""
     from apollon_spark.operators.asof import asof_join
     clicks, purch = _click_purchase(spark, sf_dir)
-    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
-                     value_cols=["purchase_value"], strategy="union",
-                     tolerance=3_600_000_000.0)
-
-
-def _q_asof_forward(spark, sf_dir):
-    # next purchase AT OR AFTER each click (forward as-of); oracled in
-    # DuckDB by ASOF-joining on negated times
-    from apollon_spark.operators.asof import asof_join
-    clicks, purch = _click_purchase(spark, sf_dir)
-    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
-                     value_cols=["purchase_value"], strategy="union",
-                     direction="forward")
-
-
-def _q_asof_nearest(spark, sf_dir):
-    # closest purchase either side of each click, ties to backward;
-    # oracled by combining a backward and a (negated-time) forward
-    # ASOF join with the same distance chooser
-    from apollon_spark.operators.asof import asof_join
-    clicks, purch = _click_purchase(spark, sf_dir)
-    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
-                     value_cols=["purchase_value"], strategy="union",
-                     direction="nearest")
-
-
-def _q_asof_strict(spark, sf_dir):
-    # allow_exact=False: a purchase at exactly the click time no longer
-    # matches (strict rt < t)
-    from apollon_spark.operators.asof import asof_join
-    clicks, purch = _click_purchase(spark, sf_dir)
-    return asof_join(clicks, purch, on="t_us", right_on="rt", by="user_id",
-                     value_cols=["purchase_value"], strategy="union",
-                     allow_exact=False)
+    variants = {
+        "tolerance": dict(tolerance=3_600_000_000.0),
+        "forward": dict(direction="forward"),
+        "nearest": dict(direction="nearest"),
+        "strict": dict(allow_exact=False),
+    }
+    out = None
+    for mode, kw in variants.items():
+        part = asof_join(clicks, purch, on="t_us", right_on="rt",
+                         by="user_id", value_cols=["purchase_value"],
+                         strategy="union", **kw) \
+            .select(F.lit(mode).alias("mode"), "user_id", "event_id",
+                    "t_us", "purchase_value")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _q_sessionize(spark, sf_dir):
@@ -279,41 +266,21 @@ def _q_sessionize(spark, sf_dir):
 
 
 def _q_locf(spark, sf_dir):
-    from apollon_spark.operators.backfill import locf
-    ev = _events(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
-        F.when(F.col("event_type") == "click", F.col("value"))
-        .alias("click_value"))
-    filled = locf(ev, ["click_value"], on="t_us", by="user_id")
-    return filled.select("user_id", "event_id",
-                         F.round("click_value", 6).alias("click_value"))
-
-
-def _q_locf_limit(spark, sf_dir):
-    # bounded forward fill (pandas ffill(limit=3)): observations stop
-    # propagating after 3 rows — stale-data guard for LOCF features
+    """Unbounded forward fill AND bounded pandas-ffill(limit=3) parity
+    (stale-data guard: observations stop propagating after 3 rows) in
+    one gate — both columns from the same sparse observation stream."""
     from apollon_spark.operators.backfill import locf
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
         F.when(F.col("event_type") == "click", F.col("value"))
-        .alias("click_value"))
-    filled = locf(ev, ["click_value"], on="t_us", by="user_id", limit=3)
+        .alias("click_value")) \
+        .withColumn("cv_l3", F.col("click_value"))
+    filled = locf(ev, ["click_value"], on="t_us", by="user_id")
+    filled = locf(filled, ["cv_l3"], on="t_us", by="user_id", limit=3)
     return filled.select("user_id", "event_id",
-                         F.round("click_value", 6).alias("click_value"))
-
-
-def _q_rolling_median(spark, sf_dir):
-    # order-statistic rolling window (exact percentile, interpolated
-    # identically by Spark's percentile and DuckDB's quantile_cont)
-    ev = _events(spark, sf_dir).selectExpr(
-        "user_id", "event_id",
-        "unix_micros(cast(ts as timestamp)) AS t_us", "value")
-    return ev.selectExpr(
-        "user_id", "event_id", "t_us",
-        "round(percentile(value, 0.5) OVER (PARTITION BY user_id "
-        "ORDER BY t_us ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 6) "
-        "AS med")
+                         F.round("click_value", 6).alias("click_value"),
+                         F.round("cv_l3", 6).alias("cv_l3"))
 
 
 def _q_lag_delta(spark, sf_dir):
@@ -463,33 +430,36 @@ def _q_backfill_clip(spark, sf_dir):
 
 
 def _q_rolling_stats(spark, sf_dir):
+    """Sliding-frame mean/min/max/sum plus the exact order-statistic
+    median (Spark ``percentile`` and DuckDB ``quantile_cont``
+    interpolate identically) over the same rows frame."""
     from apollon_spark.operators.backfill import rolling_stats
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value")
     out = rolling_stats(ev, "value", on="t_us", before=3, after=2,
                         by="user_id")
+    w = (Window.partitionBy("user_id").orderBy("t_us").rowsBetween(-3, 2))
     return out.select(
         "user_id", "event_id",
         F.round("value_win_mean", 6).alias("w_mean"),
         F.round("value_win_min", 6).alias("w_min"),
         F.round("value_win_max", 6).alias("w_max"),
-        F.round("value_win_sum", 6).alias("w_sum"))
+        F.round("value_win_sum", 6).alias("w_sum"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6)
+        .alias("w_med"))
 
 
-def _q_standardize(spark, sf_dir):
-    from apollon_spark.operators.backfill import standardize
+def _q_normalize_stats(spark, sf_dir):
+    """Per-group z-score (tools.py:222-231) and +-1-sigma smoothing
+    (tools.py:201-219) in one gate — both windowed-aggregate
+    normalizers over the same grouping, no second join."""
+    from apollon_spark.operators.backfill import smooth_stat, standardize
     ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
-    out = standardize(ev, ["value"], by="user_id")
+    out = smooth_stat(standardize(ev, ["value"], by="user_id"),
+                      "value", by="user_id")
     return out.select("user_id", "event_id",
-                      F.round("value_z", 6).alias("z"))
-
-
-def _q_smooth_stat(spark, sf_dir):
-    from apollon_spark.operators.backfill import smooth_stat
-    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
-    out = smooth_stat(ev, "value", by="user_id")
-    return out.select("user_id", "event_id",
+                      F.round("value_z", 6).alias("z"),
                       F.round("value_smooth", 6).alias("smoothed"))
 
 
@@ -559,10 +529,36 @@ def _q_cosine_neardup(spark, sf_dir):
 
 
 def _q_cosine_neardup_lsh(spark, sf_dir):
+    """Banded sign-hyperplane candidate mining + exact-cosine verify —
+    value-oracled end-to-end: the DuckDB oracle re-derives the SAME
+    deterministic hyperplanes (seeded rng embedded as SQL literals),
+    bands, buckets and cosine filter. Threshold-epsilon guard mirrors
+    ``cosine_neardup`` (fold-order rounding could flip a pair exactly
+    at the cutoff)."""
     from apollon_spark.ml.dedup import cosine_near_dups_lsh
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_near_dups_lsh(emb, "vec_id", "embedding", threshold=0.4,
-                                n_planes=6, n_bands=8)
+                                n_planes=6, n_bands=8) \
+        .where(F.abs(F.col("cos_sim") - 0.4) > 1e-4)
+
+
+def _q_ann_rerank(spark, sf_dir):
+    """LSH-ANN candidate mining + exact re-rank scoring, rank-free so
+    it can be value-oracled (the top-k window cut is separately oracled
+    by ``topk_orders``): multi-probe Hamming-1 bucket join, exact
+    cosine on candidates, threshold with an epsilon guard."""
+    import numpy as np
+    from apollon_spark.ml.simsearch import lsh_ann_candidates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id") \
+        .select("vec_id", "embedding").collect()
+    queries = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    scored = lsh_ann_candidates(emb, queries, q_ids, n_planes=4, seed=11)
+    return (scored
+            .where((F.col("sim") >= 0.2)
+                   & (F.abs(F.col("sim") - 0.2) > 1e-4))
+            .select("q_id", "id", F.round("sim", 6).alias("sim")))
 
 
 # --- rows-only queries (non-SQL-expressible; pytest-verified) ---------------
@@ -655,15 +651,17 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    # scalar long form for the driver canonicalizer: one row per
-    # (media_id, dim_idx) instead of an array<double> cell
+    """Decode-stub feature extraction over binary media payloads, in
+    scalar long form (one row per (media_id, dim_idx)). No rounding:
+    every value is an exact dyadic rational (u32/2^32), bit-identical
+    between the distributed sha256 pipeline and the oracle's
+    independent hashlib re-derivation."""
     from apollon_spark.ml.multimodal import extract_media_features, synth_media
     media = synth_media(spark, 32)
     feats = extract_media_features(media, dim=8)
     return feats.select(
         "media_id", "kind",
-        F.posexplode("feature").alias("dim_idx", "value")) \
-        .withColumn("value", F.round("value", 9))
+        F.posexplode("feature").alias("dim_idx", "value"))
 
 
 def _q_nonlinear(spark, sf_dir):
@@ -692,7 +690,23 @@ def _q_similarity_position(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 gates — the driver evaluates at most the first 50
+    keys, so the registered set is consolidated to fit (near-duplicate
+    option gates merged: asof tolerance/forward/nearest/strict ->
+    asof_options, locf_limit -> locf, rolling_median -> rolling_stats,
+    standardize+smooth_stat -> normalize_stats; per-option coverage
+    stays in pytest). Gates that missed an evaluation window in a
+    previous round lead the dict, value-oracled gates next, rows-only
+    (non-SQL-expressible, pytest-verified) last."""
     return {
+        # previously outside the evaluation window — first
+        "ivf_ann": _q_ivf_ann,
+        "media_features": _q_media_features,
+        "nonlinear": _q_nonlinear,
+        "similarity_position": _q_similarity_position,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        "ann_rerank": _q_ann_rerank,
+        # value-oracled gates
         "docs_profile": _q_docs_profile,
         "frames_agg": _q_frames_agg,
         "reassembly": _q_reassembly,
@@ -707,14 +721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "causal_energy": _q_causal_energy,
         "asof_union": _q_asof_union,
         "asof_bucketed": _q_asof_bucketed,
-        "asof_tolerance": _q_asof_tolerance,
-        "asof_forward": _q_asof_forward,
-        "asof_nearest": _q_asof_nearest,
-        "asof_strict": _q_asof_strict,
+        "asof_options": _q_asof_options,
         "sessionize": _q_sessionize,
         "locf": _q_locf,
-        "locf_limit": _q_locf_limit,
-        "rolling_median": _q_rolling_median,
         "lag_delta": _q_lag_delta,
         "dedup_exact": _q_dedup_exact,
         "minhash": _q_minhash,
@@ -730,8 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmu_fixed": _q_bmu_fixed,
         "backfill_clip": _q_backfill_clip,
         "rolling_stats": _q_rolling_stats,
-        "standardize": _q_standardize,
-        "smooth_stat": _q_smooth_stat,
+        "normalize_stats": _q_normalize_stats,
         "delay_embed": _q_delay_embed,
         "join_revenue": _q_join_revenue,
         "onset_gather": _q_onset_gather,
@@ -744,11 +752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onsets": _q_onsets,
         "som_bmu": _q_som_bmu,
         "ann_lsh": _q_ann_lsh,
-        "media_features": _q_media_features,
-        "nonlinear": _q_nonlinear,
-        "ivf_ann": _q_ivf_ann,
-        "similarity_position": _q_similarity_position,
-        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
     }
 
 
@@ -826,6 +829,134 @@ mix AS (
 )
 SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM mix
 """
+
+
+def _planes_literal(planes) -> str:
+    """Hyperplane matrix as a DuckDB DOUBLE[][] literal — repr() of a
+    float64 round-trips exactly, so the oracle's planes are
+    bit-identical to the seeded-rng planes the Spark workers derive."""
+    return ("[" + ",".join(
+        "[" + ",".join(repr(float(v)) for v in row) + "]"
+        for row in planes) + "]")
+
+
+_EMB_DIM = 64  # embeddings.parquet dimension at every generated SF
+
+
+def _ann_rerank_sql(n_planes: int = 4, seed: int = 11,
+                    thr: float = 0.2) -> str:
+    """Full LSH-ANN mining + scoring in DuckDB: the seeded hyperplanes
+    are embedded as literals, buckets re-derived as sign sums, the
+    multi-probe set is {bucket} U {bucket XOR (1<<b)}, and candidates
+    are re-scored with exact cosine (sign convention matches
+    lsh_bucket_stage: strictly > 0; signs are scale-invariant so raw
+    embeddings stand in for the normalized queries)."""
+    from apollon_spark.ml.simsearch import hyperplanes
+    pls = _planes_literal(hyperplanes(_EMB_DIM, n_planes, seed))
+    rng = f"range(1,{_EMB_DIM + 1})"
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({rng}, i -> "
+        f"CAST(e[i] AS DOUBLE) * pl[{p + 1}][i])) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << b})" for b in range(n_planes)])
+    return f"""
+WITH pl_t AS (SELECT {pls}::DOUBLE[][] AS pl),
+b AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
+         {bucket} AS bucket
+  FROM embeddings, pl_t
+),
+q AS (SELECT id AS q_id, e AS qe, bucket AS qb FROM b WHERE id < 3),
+probes AS (
+  SELECT q_id, qe, unnest([{probe_list}]) AS pb FROM q
+),
+cand AS (
+  SELECT p.q_id, b.id, p.qe, b.e FROM probes p JOIN b ON b.bucket = p.pb
+),
+sims AS (
+  SELECT q_id, id,
+     list_sum(list_transform({rng}, i -> CAST(qe[i] AS DOUBLE) * e[i]))
+     / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * x)))
+        * sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x))))
+       AS sim
+  FROM cand
+)
+SELECT q_id, id, round(sim, 6) AS sim FROM sims
+WHERE sim >= {thr} AND abs(sim - {thr}) > 1e-4
+"""
+
+
+def _cosine_lsh_sql(n_planes: int = 6, n_bands: int = 8, seed: int = 11,
+                    thr: float = 0.4) -> str:
+    """cosine_near_dups_lsh re-derived in DuckDB: same seeded
+    (n_bands*n_planes, dim) plane matrix as literals, per-band sign
+    buckets (convention matches the bucketize kernel: >= 0), banded
+    self-join on (band, bucket), exact cosine verify with the
+    threshold-epsilon guard."""
+    import numpy as np
+    pl = np.random.default_rng(seed).standard_normal(
+        (n_bands * n_planes, _EMB_DIM))
+    pls = _planes_literal(pl)
+    rng = f"range(1,{_EMB_DIM + 1})"
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({rng}, i -> "
+        f"CAST(e[i] AS DOUBLE) * pl[band * {n_planes} + {p + 1}][i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return f"""
+WITH pl_t AS (SELECT {pls}::DOUBLE[][] AS pl),
+v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e
+      FROM embeddings),
+banded AS (
+  SELECT id, band, {bucket} AS bkt
+  FROM v, pl_t, (SELECT unnest(range(0, {n_bands})) AS band)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id
+),
+sc AS (
+  SELECT p.id_a, p.id_b,
+     round(list_sum(list_transform({rng}, i ->
+               CAST(va.e[i] AS DOUBLE) * vb.e[i]))
+     / (sqrt(list_sum(list_transform(va.e, x -> CAST(x AS DOUBLE) * x)))
+        * sqrt(list_sum(list_transform(vb.e, x -> CAST(x AS DOUBLE) * x)))),
+       6) AS cos_sim
+  FROM pairs p JOIN v va ON va.id = p.id_a JOIN v vb ON vb.id = p.id_b
+)
+SELECT id_a, id_b, cos_sim FROM sc
+WHERE cos_sim >= {thr} AND abs(cos_sim - {thr}) > 1e-4
+"""
+
+
+def _media_features_sql(n: int = 32, dim: int = 8) -> str:
+    """Expected media features as a literal table, re-derived here with
+    hashlib INDEPENDENTLY of the Spark pipeline (DuckDB's sha256()
+    accepts only VARCHAR, so the byte-level chain can't run in SQL;
+    synth_media reads no test data, so the expected output is a pure
+    function of (n, dim) exactly like media_frame_plan's regenerated
+    metadata). Values are exact dyadic rationals — no rounding on
+    either side."""
+    import hashlib
+
+    import numpy as np
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
+        need, buf, h = dim * 4, b"", payload
+        while len(buf) < need:
+            h = hashlib.sha256(h).digest()
+            buf += h
+        arr = np.frombuffer(buf[:need], dtype="<u4").astype("float64") / 2**32
+        rows.extend(
+            f"('m{i:06d}', 'image', CAST({j} AS INT), "
+            f"CAST({float(v)!r} AS DOUBLE))"
+            for j, v in enumerate(arr))
+    return ("SELECT * FROM (VALUES " + ",\n".join(rows)
+            + ") AS t(media_id, kind, dim_idx, value)")
 
 
 def _text_profile_sql() -> str:
@@ -1080,54 +1211,35 @@ WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
 SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.rt
 """,
-        "asof_tolerance": """
-WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
-           FROM events WHERE event_type = 'click'),
-     p AS (SELECT user_id, epoch_us(ts) AS rt,
-                  round(value, 6) AS purchase_value
-           FROM events WHERE event_type = 'purchase')
-SELECT c.user_id, c.event_id, c.t_us,
-       CASE WHEN c.t_us - p.rt <= 3600000000
-            THEN p.purchase_value END AS purchase_value
-FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us >= p.rt
-""",
-        "asof_forward": """
-WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
-                  -epoch_us(ts) AS neg_t
-           FROM events WHERE event_type = 'click'),
-     p AS (SELECT user_id, -epoch_us(ts) AS neg_rt,
-                  round(value, 6) AS purchase_value
-           FROM events WHERE event_type = 'purchase')
-SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
-FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.neg_t >= p.neg_rt
-""",
-        "asof_nearest": """
+        "asof_options": """
 WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
                   -epoch_us(ts) AS neg_t
            FROM events WHERE event_type = 'click'),
      p AS (SELECT user_id, epoch_us(ts) AS rt, -epoch_us(ts) AS neg_rt,
                   round(value, 6) AS purchase_value
            FROM events WHERE event_type = 'purchase'),
-b AS (SELECT c.event_id, p.rt AS brt, p.purchase_value AS bval
-      FROM c ASOF LEFT JOIN p
-        ON c.user_id = p.user_id AND c.t_us >= p.rt),
-f AS (SELECT c.event_id, p.rt AS frt, p.purchase_value AS fval
-      FROM c ASOF LEFT JOIN p
-        ON c.user_id = p.user_id AND c.neg_t >= p.neg_rt)
-SELECT c.user_id, c.event_id, c.t_us,
-       CASE WHEN b.brt IS NULL THEN f.fval
-            WHEN f.frt IS NULL THEN b.bval
-            WHEN (f.frt - c.t_us) < (c.t_us - b.brt) THEN f.fval
-            ELSE b.bval END AS purchase_value
-FROM c JOIN b USING (event_id) JOIN f USING (event_id)
-""",
-        "asof_strict": """
-WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
-           FROM events WHERE event_type = 'click'),
-     p AS (SELECT user_id, epoch_us(ts) AS rt,
-                  round(value, 6) AS purchase_value
-           FROM events WHERE event_type = 'purchase')
-SELECT c.user_id, c.event_id, c.t_us, p.purchase_value
+bk AS (SELECT c.event_id, p.rt AS brt, p.purchase_value AS bval
+       FROM c ASOF LEFT JOIN p
+         ON c.user_id = p.user_id AND c.t_us >= p.rt),
+fw AS (SELECT c.event_id, p.rt AS frt, p.purchase_value AS fval
+       FROM c ASOF LEFT JOIN p
+         ON c.user_id = p.user_id AND c.neg_t >= p.neg_rt)
+SELECT 'tolerance' AS mode, c.user_id, c.event_id, c.t_us,
+       CASE WHEN c.t_us - bk.brt <= 3600000000
+            THEN bk.bval END AS purchase_value
+FROM c JOIN bk USING (event_id)
+UNION ALL
+SELECT 'forward' AS mode, c.user_id, c.event_id, c.t_us, fw.fval
+FROM c JOIN fw USING (event_id)
+UNION ALL
+SELECT 'nearest' AS mode, c.user_id, c.event_id, c.t_us,
+       CASE WHEN bk.brt IS NULL THEN fw.fval
+            WHEN fw.frt IS NULL THEN bk.bval
+            WHEN (fw.frt - c.t_us) < (c.t_us - bk.brt) THEN fw.fval
+            ELSE bk.bval END AS purchase_value
+FROM c JOIN bk USING (event_id) JOIN fw USING (event_id)
+UNION ALL
+SELECT 'strict' AS mode, c.user_id, c.event_id, c.t_us, p.purchase_value
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t_us > p.rt
 """,
         "sessionize": """
@@ -1163,27 +1275,11 @@ SELECT user_id, event_id,
        round(last_value(cv IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY t_us
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-         AS click_value
-FROM e
-""",
-        "rolling_median": """
-SELECT user_id, event_id, epoch_us(ts) AS t_us,
-       round(quantile_cont(value, 0.5) OVER (
-         PARTITION BY user_id ORDER BY epoch_us(ts)
-         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 6) AS med
-FROM events
-""",
-        "locf_limit": """
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS t_us,
-         CASE WHEN event_type = 'click' THEN value END AS cv
-  FROM events
-)
-SELECT user_id, event_id,
+         AS click_value,
        round(last_value(cv IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY t_us
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
-         AS click_value
+         AS cv_l3
 FROM e
 """,
         "lag_delta": f"""
@@ -1235,6 +1331,9 @@ FROM ranked WHERE rn = 1
 """,
         "minhash": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),
+        "ann_rerank": _ann_rerank_sql(),
+        "cosine_neardup_lsh": _cosine_lsh_sql(),
+        "media_features": _media_features_sql(),
         "media_frame_plan": """
 WITH meta AS (
   SELECT printf('m%06d', i) AS media_id,
@@ -1329,12 +1428,13 @@ SELECT user_id, event_id,
        round(avg(value) OVER w, 6) AS w_mean,
        round(min(value) OVER w, 6) AS w_min,
        round(max(value) OVER w, 6) AS w_max,
-       round(sum(value) OVER w, 6) AS w_sum
+       round(sum(value) OVER w, 6) AS w_sum,
+       round(quantile_cont(value, 0.5) OVER w, 6) AS w_med
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
 """,
-        "standardize": """
+        "normalize_stats": """
 WITH s AS (
   SELECT user_id, event_id, value,
          avg(value) OVER (PARTITION BY user_id) AS mu,
@@ -1342,17 +1442,7 @@ WITH s AS (
   FROM events
 )
 SELECT user_id, event_id,
-       round(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 6) AS z
-FROM s
-""",
-        "smooth_stat": """
-WITH s AS (
-  SELECT user_id, event_id, value,
-         avg(value) OVER (PARTITION BY user_id) AS mu,
-         stddev_pop(value) OVER (PARTITION BY user_id) AS sd
-  FROM events
-)
-SELECT user_id, event_id,
+       round(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 6) AS z,
        round(CASE WHEN value >= mu - sd AND value <= mu + sd
                   THEN mu ELSE value END, 6) AS smoothed
 FROM s

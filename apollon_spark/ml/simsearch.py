@@ -124,13 +124,16 @@ def lsh_bucket_stage(vectors: DataFrame, planes: np.ndarray,
         gen, "id long, bucket long")
 
 
-def lsh_ann_topk(vectors: DataFrame, queries: np.ndarray,
-                 q_ids: np.ndarray, k: int = 10, n_planes: int = 8,
-                 seed: int = 11, id_col: str = "vec_id",
-                 vec_col: str = "embedding",
-                 multiprobe: bool = True) -> DataFrame:
-    """Approximate top-k: rows and queries bucket by hyperplane signs;
-    exact cosine re-rank only inside the probed buckets.
+def lsh_ann_candidates(vectors: DataFrame, queries: np.ndarray,
+                       q_ids: np.ndarray, n_planes: int = 8,
+                       seed: int = 11, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       multiprobe: bool = True) -> DataFrame:
+    """Rank-free candidate mining + exact-cosine scoring stage of
+    ``lsh_ann_topk``: (q_id, id, sim) for every row that shares a
+    probed bucket with a query. Split out so the bucket join + re-rank
+    math can be value-oracled directly (the top-k window cut is
+    verified separately by the window-top-k gates).
 
     Multi-probe (default): each query probes its own bucket plus all
     Hamming-1 neighbors (flip one sign bit), raising recall when the
@@ -174,7 +177,19 @@ def lsh_ann_topk(vectors: DataFrame, queries: np.ndarray,
                                  F.col(vec_col).alias("v")), "id")
             .join(F.broadcast(qdf), "q_id"))
     cos_sim = _cos_sim_udf()
-    scored = cand.select("q_id", "id", cos_sim("v", "q_vec").alias("sim"))
+    return cand.select("q_id", "id", cos_sim("v", "q_vec").alias("sim"))
+
+
+def lsh_ann_topk(vectors: DataFrame, queries: np.ndarray,
+                 q_ids: np.ndarray, k: int = 10, n_planes: int = 8,
+                 seed: int = 11, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: rows and queries bucket by hyperplane signs;
+    exact cosine re-rank only inside the probed buckets (see
+    ``lsh_ann_candidates`` for the mining/scoring semantics)."""
+    scored = lsh_ann_candidates(vectors, queries, q_ids, n_planes, seed,
+                                id_col, vec_col, multiprobe)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
