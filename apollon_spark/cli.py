@@ -48,7 +48,11 @@ def main(argv: list[str] | None = None) -> int:
                     default="json")
     # training-data pipeline stages
     ap.add_argument("--text-col", default="text")
-    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--id-col", default=None,
+                    help="id column (default: doc_id; vec_id for "
+                         "--stage ann)")
+    ap.add_argument("--vec-col", default="embedding",
+                    help="ann: embedding/vector column")
     ap.add_argument("--n-hashes", type=int, default=16)
     ap.add_argument("--n-bands", type=int, default=4)
     ap.add_argument("--shingle-k", type=int, default=3)
@@ -72,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
                          "distributed (sources/wav.py) — the reference "
                          "CLI's audio-file surface")
     args = ap.parse_args(argv)
+    id_col = args.id_col or ("vec_id" if args.stage == "ann" else "doc_id")
 
     spark = get_spark(f"apollon-{args.stage}")
     if args.stage in ("ingest", "stream-neardup"):
@@ -117,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.stage == "dedup":
         # exact dedup on the content hash: input needs (id, text) cols
         from .ml.dedup import exact_dedup
-        out = exact_dedup(docs, args.text_col, args.id_col)
+        out = exact_dedup(docs, args.text_col, id_col)
         storage.write_table(out, args.output)
         written = storage.read_table(spark, args.output).count()
         print(json.dumps({"rows_in": docs.count(), "rows_out": written}))
@@ -127,21 +132,22 @@ def main(argv: list[str] | None = None) -> int:
         pairs = minhash_dedup_pairs(
             docs, n_hashes=args.n_hashes, n_bands=args.n_bands,
             shingle_k=args.shingle_k, threshold=args.threshold,
-            id_col=args.id_col)
+            id_col=id_col)
         storage.write_table(pairs, args.output)
         written = storage.read_table(spark, args.output).count()
         print(json.dumps({"pairs": written}))
     elif args.stage == "ann":
-        # LSH top-k: input = vector table (vec_id, embedding); queries =
-        # the first --n-queries vectors (or plug a query table in code)
+        # LSH top-k: input = vector table (--id-col, --vec-col; defaults
+        # vec_id/embedding); queries = the first --n-queries vectors
         import numpy as np
         from pyspark.sql import functions as F
         from .ml.simsearch import lsh_ann_topk
-        qrows = (docs.orderBy("vec_id").limit(args.n_queries)
-                 .select("vec_id", "embedding").collect())
-        queries = np.array([r["embedding"] for r in qrows], "float64")
-        q_ids = np.array([r["vec_id"] for r in qrows], "int64")
-        out = lsh_ann_topk(docs, queries, q_ids, k=args.topk)
+        qrows = (docs.orderBy(id_col).limit(args.n_queries)
+                 .select(id_col, args.vec_col).collect())
+        queries = np.array([r[args.vec_col] for r in qrows], "float64")
+        q_ids = np.array([r[id_col] for r in qrows], "int64")
+        out = lsh_ann_topk(docs, queries, q_ids, k=args.topk,
+                           id_col=id_col, vec_col=args.vec_col)
         storage.write_table(out, args.output)
     elif args.stage == "textstats":
         from .ml.textstats import text_profile

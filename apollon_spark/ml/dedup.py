@@ -112,7 +112,14 @@ def minhash_docs(docs: DataFrame, n_hashes: int = 16, shingle_k: int = 3,
     SQL form — tested equal). Catalyst's higher-order functions are
     CodegenFallback (interpreted), which made the pure-SQL fold 20-100x
     slower under a Generate; the batched numpy path is the hot path,
-    ``minhash_signature_col`` remains for SQL composition."""
+    ``minhash_signature_col`` remains for SQL composition.
+
+    Precondition: tokens must be NON-NEGATIVE. numpy's ``%`` returns
+    the sign of the divisor while Spark/DuckDB ``%`` returns the sign
+    of the dividend, so the bit-identical-to-SQL claim (and the DuckDB
+    oracle) holds only for tokens >= 0 — true for every tokenizer id
+    space this engine targets (and asserted for the fixtures in
+    tests/test_dedup.py). Same applies to ``simhash_docs``."""
     import numpy as np
     import pandas as pd
 
@@ -143,10 +150,13 @@ def minhash_docs(docs: DataFrame, n_hashes: int = 16, shingle_k: int = 3,
         gen, f"{id_col} {id_type}, signature array<long>")
 
 
-def _band_sigs(sigs: DataFrame, n_bands: int, id_col: str) -> DataFrame:
-    """(id, band, band_sig) — signature sliced into n_bands keys."""
+def _band_sigs(sigs: DataFrame, n_bands: int, id_col: str,
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [keep_cols...,] band, band_sig) — signature sliced into
+    n_bands keys; ``keep_cols`` ride along (e.g. the full signature
+    for estimator scoring without a second corpus join)."""
     return sigs.select(
-        id_col,
+        id_col, *keep_cols,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -163,14 +173,13 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
     the bucket join that replaces the O(n^2) comparison. Returns
     distinct candidate pairs (id_a < id_b)."""
     banded = _band_sigs(sigs, n_bands, id_col)
-    # persist before the self-join: otherwise each side recomputes the
-    # signature stage — two full corpus scans for keys that are a few
-    # longs per (doc, band). NB persisted DISK blocks live until the
-    # job/context releases them — a caller invoking this in a loop
-    # (long-lived app) should .unpersist() via its own banding +
-    # lsh_candidate_pairs_between instead.
-    from pyspark import StorageLevel
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize before the self-join: otherwise each side recomputes
+    # the signature stage — two full corpus scans for keys that are a
+    # few longs per (doc, band). Eager localCheckpoint (MEMORY_AND_DISK
+    # blocks) instead of persist(): checkpoint blocks are reference-
+    # GC'd with the returned frame, so repeated calls in a long-lived
+    # driver don't accumulate CacheManager entries.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -204,6 +213,25 @@ def lsh_candidate_pairs_between(sigs_new: DataFrame, sigs_all: DataFrame,
                 .alias("id_b"))
         .distinct()
     )
+
+
+def signature_est_jaccard_udf():
+    """Arrow-batched MinHash-agreement estimator: fraction of equal
+    signature slots, one numpy comparison per batch instead of an
+    interpreted ``aggregate(zip_with(...))`` fold per pair (the
+    measured 20-100x HOF-vs-numpy penalty; the SQL fold is kept as the
+    oracle form in tests/test_dedup.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def est(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if not len(sa):
+            return pd.Series([], dtype="float64")
+        a = np.stack(sa.to_numpy())
+        b = np.stack(sb.to_numpy())
+        return pd.Series((a == b).mean(axis=1))
+
+    return est
 
 
 def jaccard_col(arr_a: Column, arr_b: Column) -> Column:
@@ -424,13 +452,13 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
                 "bkt": bkts.ravel()})
 
     ids = v.mapInPandas(bucketize, "id long, band int, bkt long")
-    # persist the keys table before the self-join: without this, each
-    # join side recomputes the bucketize stage — i.e. TWO full corpus
-    # scans (vectors and all) to build keys that are ~20 bytes per
-    # (doc, band). MEMORY_AND_DISK so a huge corpus spills instead of
-    # evicting; Spark LRU-frees it after the job.
-    from pyspark import StorageLevel
-    ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the keys table before the self-join: without this,
+    # each join side recomputes the bucketize stage — i.e. TWO full
+    # corpus scans (vectors and all) to build keys that are ~20 bytes
+    # per (doc, band). Eager localCheckpoint = MEMORY_AND_DISK blocks
+    # (spills instead of evicting) that are reference-GC'd with the
+    # frame — no CacheManager entry to leak across repeated calls.
+    ids = ids.localCheckpoint(eager=True)
     a, b = ids.alias("a"), ids.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bkt") == F.col("b.bkt"))

@@ -70,7 +70,8 @@ def parse_wav(data: bytes) -> tuple[int, int, np.ndarray]:
 def read_wav_docs(spark: SparkSession, path: str, mono: bool = True,
                   norm: bool = False) -> DataFrame:
     """Scan a directory/glob of .wav files into the canonical docs
-    shape. doc_id = file basename without extension."""
+    shape. doc_id = full file path without the extension (basenames can
+    collide across subdirectories; see the module docstring)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -157,101 +157,152 @@ def stream_exact_dedup(docs: DataFrame, content_col: str = "text",
     return out.drop("__content_h")
 
 
+def banded_store_read(spark, store_path: str, keys, epoch_id: int,
+                      exclude_epoch: bool = True) -> DataFrame | None:
+    """Partition-pruned read of the pre-banded signature store: only
+    the ``(band, pfx)`` partitions in ``keys`` are scanned (and the
+    current epoch's own partial attempt is excluded). ``keys`` is a
+    bounded list (<= n_bands * n_prefixes entries) collected from the
+    batch, so the filter is a static partition predicate — per-batch
+    scan bytes are bounded by the batch's matching buckets, never by
+    store size. Returns None when the store doesn't exist yet."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark.sql import functions as F
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:
+        # first batch only (path not created yet); any OTHER read
+        # failure must surface, not silently skip the corpus dedup
+        return None
+    bucket_filter = F.lit(False)
+    by_band: dict[int, list[int]] = {}
+    for band, pfx in keys:
+        by_band.setdefault(int(band), []).append(int(pfx))
+    for band, pfs in sorted(by_band.items()):
+        bucket_filter = bucket_filter | (
+            (F.col("band") == band) & F.col("pfx").isin(pfs))
+    if exclude_epoch:
+        # a replayed batch must not see its own prior partial attempt
+        # (it would double every doc)
+        bucket_filter = bucket_filter & (F.col("epoch") != epoch_id)
+    return store.where(bucket_filter)
+
+
 def stream_minhash_neardup(spark, src_path: str, store_path: str,
                            pairs_path: str, checkpoint: str,
                            n_hashes: int = 16, n_bands: int = 4,
                            shingle_k: int = 3, threshold: float = 0.7,
-                           seed: int = 7, trigger_once: bool = True):
+                           seed: int = 7, n_prefixes: int = 16,
+                           trigger_once: bool = True):
     """Streaming near-dup detection: every arriving doc is checked
-    against ALL previously seen docs via MinHash-LSH, and its
+    against ALL previously seen docs via MinHash-LSH, and its banded
     signature joins the store.
 
     The streaming face of ``ml.dedup.minhash_dedup_pairs`` for the
     crawl-ingestion shape: an unbounded doc stream deduped against an
     ever-growing corpus. Per micro-batch (``foreachBatch``):
 
-      1. signatures for the batch (batched-numpy kernel, one scan);
-      2. band-bucket join of batch-vs-store and batch-vs-batch,
-         restricted to pairs touching this batch — the candidate
-         generator stays an equi-join on (band, band_sig) keys, never
-         corpus x batch;
-      3. candidates scored by SIGNATURE-estimated Jaccard (fraction of
-         agreeing minhashes — the unbiased MinHash estimator, 1/n_hashes
-         granularity; raise n_hashes to tighten) and pairs >=
-         ``threshold`` appended to ``pairs_path``;
-      4. batch signatures appended to the parquet ``store_path``.
+      1. signatures for the batch (batched-numpy kernel, one scan),
+         banded once into (band, band_sig, pfx) keys where
+         ``pfx = pmod(xxhash64(band_sig), n_prefixes)``;
+      2. the store is read PRE-BANDED and partitioned by
+         ``(epoch, band, pfx)``, so the batch joins only against the
+         partitions matching its own buckets (static partition
+         pruning; see ``banded_store_read``) — per-batch scan cost
+         scales with the batch's bucket collisions, NOT with corpus
+         age. Band keys are computed once at append time, never
+         recomputed over history;
+      3. docs already present in the store are dropped (anti-join on
+         the pruned read — an identical re-delivery hits the same
+         buckets, so its prior rows are guaranteed inside the pruned
+         partitions; a doc_id re-delivered with DIFFERENT content is
+         treated as new content, not a duplicate);
+      4. candidates from the banded equi-join (batch-vs-store and
+         batch-vs-batch) are scored by SIGNATURE-estimated Jaccard —
+         the full signatures ride the banded rows, so scoring needs no
+         second corpus join — with the batched-numpy estimator
+         (``signature_est_jaccard_udf``); pairs >= ``threshold`` land
+         in ``pairs_path``;
+      5. the batch's banded rows are appended to ``store_path``.
 
-    State = the signature store only: n_hashes longs per doc (~128
-    bytes at 16 hashes), never the corpus text — 10^12 docs ~ 100 TB
-    of text but ~100 GB of signatures, a normal parquet table. The
-    estimator (not exact Jaccard) is deliberate: exact verification
-    would need the historical token arrays, i.e. corpus-scale reads
-    per batch; downstream consumers holding the text can re-verify the
-    emitted candidate pairs exactly (``ml.dedup.jaccard_col``).
-    Exactly-once across restarts: outputs are partitioned by
-    ``epoch=<batch id>`` and written with dynamic partition overwrite,
-    so a replayed micro-batch REPLACES its own epoch partition instead
-    of appending duplicates.
+    State = the banded signature store only: n_bands x (band key +
+    full signature) per doc (~0.5 KB at 16 hashes / 4 bands), never
+    the corpus text. The estimator (not exact Jaccard) is deliberate:
+    exact verification would need the historical token arrays —
+    corpus-scale reads per batch; consumers holding the text re-verify
+    emitted pairs exactly (``ml.dedup.jaccard_col``). Exactly-once
+    across restarts: outputs are partitioned by ``epoch=<batch id>``
+    (first partition level) and written with dynamic partition
+    overwrite, so a replayed micro-batch REPLACES its own partitions.
+    Long-lived stores accumulate epoch directories; compact
+    periodically (coalesce epochs, keep (band, pfx) levels) exactly as
+    any streaming parquet sink.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    from .ml.dedup import minhash_docs
+    from .ml.dedup import (_band_sigs, minhash_docs,
+                           signature_est_jaccard_udf)
 
     stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
               .parquet(src_path))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        from .ml.dedup import lsh_candidate_pairs_between
-
         batch_df = batch_df.where(F.size("tokens") >= shingle_k)
-        sigs_new = minhash_docs(batch_df, n_hashes, shingle_k, seed).cache()
+        sigs_new = minhash_docs(batch_df, n_hashes, shingle_k, seed)
+        banded_new = (
+            _band_sigs(sigs_new, n_bands, "doc_id",
+                       keep_cols=("signature",))
+            .withColumn("pfx", F.pmod(F.xxhash64("band_sig"),
+                                      F.lit(n_prefixes)).cast("int"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
         try:
-            try:
-                # exclude THIS epoch: a replayed batch must not see its
-                # own prior partial attempt (it would double every doc)
-                store = (spark.read.parquet(store_path)
-                         .where(F.col("epoch") != epoch_id).drop("epoch"))
-                sigs_all = store.unionByName(sigs_new)
-            except AnalysisException:
-                # first batch only (path not created yet); any OTHER
-                # read failure must surface, not silently skip the
-                # cross-corpus dedup
-                sigs_all = sigs_new
-            # batch-banded x all-banded equi-join: per-batch cost
-            # scales with the batch's bucket collisions, never a
-            # store-vs-store self-join
-            cand = lsh_candidate_pairs_between(sigs_new, sigs_all,
-                                               n_bands)
-            est = F.aggregate(
-                F.zip_with("sig_a", "sig_b",
-                           lambda a, b: (a == b).cast("int")),
-                F.lit(0), lambda acc, x: acc + x
-            ).cast("double") / F.lit(float(n_hashes))
-            scored = (cand
-                      .join(sigs_all.select(F.col("doc_id").alias("id_a"),
-                                            F.col("signature")
-                                            .alias("sig_a")), "id_a")
-                      .join(sigs_all.select(F.col("doc_id").alias("id_b"),
-                                            F.col("signature")
-                                            .alias("sig_b")), "id_b")
+            # bounded driver-side collect: <= n_bands * n_prefixes rows
+            keys = [(r["band"], r["pfx"]) for r in
+                    banded_new.select("band", "pfx").distinct().collect()]
+            store = banded_store_read(spark, store_path, keys, epoch_id)
+            if store is not None:
+                store = store.select("doc_id", "signature", "band",
+                                     "band_sig", "pfx")
+                seen = store.select("doc_id").distinct()
+                banded_new_f = banded_new.join(seen, "doc_id", "left_anti")
+                all_banded = store.unionByName(banded_new_f)
+            else:
+                banded_new_f = banded_new
+                all_banded = banded_new
+            a, b = banded_new_f.alias("a"), all_banded.alias("b")
+            swap = F.col("a.doc_id") < F.col("b.doc_id")
+            pairs = (
+                a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.band_sig") == F.col("b.band_sig"))
+                       & (F.col("a.doc_id") != F.col("b.doc_id")))
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+                    F.when(swap, F.col("a.signature"))
+                    .otherwise(F.col("b.signature")).alias("sig_a"),
+                    F.when(swap, F.col("b.signature"))
+                    .otherwise(F.col("a.signature")).alias("sig_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+            est = signature_est_jaccard_udf()
+            scored = (pairs
                       .select("id_a", "id_b",
-                              F.round(est, 6).alias("est_jaccard"))
+                              F.round(est("sig_a", "sig_b"), 6)
+                              .alias("est_jaccard"))
                       .where(F.col("est_jaccard") >= threshold))
             # epoch-partitioned dynamic overwrite: replaying this batch
-            # after a crash replaces its own partition (idempotent),
-            # never appends duplicates
+            # after a crash replaces its own partitions (idempotent)
             (scored.withColumn("epoch", F.lit(epoch_id))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("epoch").parquet(pairs_path))
-            (sigs_new.withColumn("epoch", F.lit(epoch_id))
+            (banded_new_f.withColumn("epoch", F.lit(epoch_id))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("epoch").parquet(store_path))
+             .partitionBy("epoch", "band", "pfx").parquet(store_path))
         finally:
-            sigs_new.unpersist()
+            banded_new.unpersist()
 
     writer = (stream.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint))

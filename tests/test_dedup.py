@@ -225,3 +225,34 @@ def test_neardup_pipeline_tolerates_short_docs(spark):
     sh = df.select(dedup.token_shingles(F.col("tokens"), 3).alias("s")) \
         .toPandas()
     assert [len(x) for x in sh["s"]] == [3, 3, 0, 0]
+
+
+def test_signature_estimator_udf_equals_sql_fold(spark):
+    """The batched-numpy MinHash-agreement estimator must equal the
+    interpreted SQL fold it replaced in the streaming sink (the fold is
+    kept here as the oracle form)."""
+    rng = np.random.default_rng(4)
+    sigs = rng.integers(0, 50, (40, 16))
+    sig_b = sigs.copy()
+    flip = rng.random((40, 16)) < 0.4
+    sig_b[flip] = rng.integers(0, 50, flip.sum())
+    pdf = pd.DataFrame({"sig_a": list(sigs), "sig_b": list(sig_b)})
+    df = spark.createDataFrame(pdf)
+    est = dedup.signature_est_jaccard_udf()
+    got = df.select(est("sig_a", "sig_b").alias("e")).toPandas()["e"]
+    sql = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x).cast("double") / F.lit(16.0)
+    want = df.select(sql.alias("e")).toPandas()["e"]
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), atol=0)
+
+
+def test_token_fixtures_are_non_negative(spark, sf_dir):
+    """Precondition of the numpy minhash/simhash kernels (numpy % vs
+    Spark % differ on negative dividends): the docs token space must be
+    non-negative."""
+    from apollon_spark.tokenize import docs_from_documents
+    docs = docs_from_documents(spark, sf_dir)
+    n_neg = docs.select(
+        F.explode("tokens").alias("t")).where(F.col("t") < 0).count()
+    assert n_neg == 0
