@@ -333,24 +333,50 @@ def hamming_distance_col(a: Column, b: Column, n_bits: int = 32) -> Column:
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
-                      n_bits: int = 32, prefix_bits: int = 8,
+                      n_bits: int = 32, n_blocks: int | None = None,
                       id_col: str = "doc_id",
                       arr_col: str = "tokens") -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` of
-    the fingerprint (scale path; near dups rarely differ in the prefix),
-    verify Hamming distance within buckets."""
+    """Near-dup pairs by SimHash with EXACT recall: the fingerprint is
+    split into ``n_blocks`` (default ``max_hamming + 1``) bit-slices —
+    by pigeonhole, any pair within ``max_hamming`` flipped bits agrees
+    EXACTLY on at least one block (Manku/Jain/Sarma, WWW'07 §3), so a
+    bucket equi-join on (block, block_value) finds every qualifying
+    pair. Candidate generation stays an equi-join (n_blocks rows per
+    doc, never a product); Hamming is verified exactly inside buckets.
+
+    The r01/r02 single-prefix probe missed any pair whose differing
+    bits touched the prefix (~59% of hamming-3 pairs at 8/32 prefix
+    bits); recall is now 1.0 by construction
+    (tests/test_dedup.py::test_simhash_near_dups_recall_is_exact)."""
+    n_blocks = n_blocks if n_blocks is not None else max_hamming + 1
+    n_blocks = max(1, min(n_blocks, n_bits))
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} <= max_hamming={max_hamming}: the "
+            "pigeonhole guarantee needs at least max_hamming+1 blocks")
     sh = simhash_docs(docs, n_bits, id_col, arr_col)
-    bucketed = sh.withColumn(
-        "bkt", F.shiftright("sh", n_bits - prefix_bits))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # block widths: n_bits split as evenly as possible
+    base_w, extra = divmod(n_bits, n_blocks)
+    block_exprs, off = [], 0
+    for i in range(n_blocks):
+        w = base_w + (1 if i < extra else 0)
+        block_exprs.append(
+            F.shiftright("sh", off).bitwiseAND(F.lit((1 << w) - 1)))
+        off += w
+    blocks = sh.select(
+        id_col, "sh",
+        F.posexplode(F.array(*block_exprs)).alias("blk", "bval"))
+    a, b = blocks.alias("a"), blocks.alias("b")
     return (
-        a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bval") == F.col("b.bval"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 hamming_distance_col(F.col("a.sh"), F.col("b.sh"), n_bits)
                 .alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -57,21 +57,64 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return arr / 2**32
 
 
+def _image_features(payload: bytes, dim: int) -> np.ndarray:
+    """Real image decode (requires PIL): grayscale, resize to a 1 x dim
+    strip (deterministic box filter), pixels scaled to [0, 1]."""
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(payload)).convert("L") \
+        .resize((dim, 1), Image.BILINEAR)
+    return np.asarray(img, dtype="float64").ravel() / 255.0
+
+
+def _audio_features(payload: bytes, dim: int) -> np.ndarray:
+    """Real audio decode via the stdlib WAV parser (sources/wav.py —
+    no external codec needed): mono mixdown, then mean absolute
+    amplitude over ``dim`` equal time bins."""
+    from ..sources.wav import parse_wav
+    _, ch, arr = parse_wav(payload)
+    mono = arr.mean(axis=1) if ch > 1 else arr.ravel()
+    if mono.size == 0:
+        return np.zeros(dim)
+    bins = np.array_split(np.abs(mono), dim)
+    return np.array([b.mean() if b.size else 0.0 for b in bins])
+
+
 def extract_media_features(media: DataFrame, dim: int = 16,
                            fake_decode: bool = True) -> DataFrame:
     """Decode + feature-extract stage: (media_id, kind, feature
-    array<double>). Vectorized mapInPandas over binary payloads."""
+    array<double>). Vectorized mapInPandas over binary payloads.
+
+    ``fake_decode=False`` decodes for REAL where a decoder exists:
+    'audio' payloads are WAV-parsed with the stdlib decoder
+    (sources/wav.py), 'image' payloads use PIL when importable; other
+    kinds (or image-without-PIL) raise NotImplementedError at this
+    seam — plug ffmpeg/torchaudio/etc. in here."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake_decode:
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries "
-                    "(PIL / soundfile / ffmpeg) not present here; "
-                    "plug the decoder in at this seam")
-            feats = [_fake_features(p, dim) for p in pdf["payload"]]
+            if fake_decode:
+                feats = [_fake_features(p, dim) for p in pdf["payload"]]
+            else:
+                feats = []
+                for kind, p in zip(pdf["kind"], pdf["payload"]):
+                    if kind == "audio":
+                        feats.append(_audio_features(bytes(p), dim))
+                    elif kind == "image":
+                        try:
+                            feats.append(_image_features(bytes(p), dim))
+                        except ImportError as exc:
+                            raise NotImplementedError(
+                                "image decode requires PIL, absent "
+                                "here; install pillow or plug a "
+                                "decoder in at this seam") from exc
+                    else:
+                        raise NotImplementedError(
+                            f"no decoder for kind={kind!r} (video "
+                            "needs ffmpeg) — plug one in at this seam")
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"],
                                 "feature": feats})

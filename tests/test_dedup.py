@@ -83,7 +83,7 @@ def test_minhash_approximates_jaccard(spark, near_dup_docs):
 
 def test_simhash_near_dups(spark, near_dup_docs):
     out = dedup.simhash_near_dups(near_dup_docs, max_hamming=6,
-                                  n_bits=32, prefix_bits=4).toPandas()
+                                  n_bits=32).toPandas()
     found = set(zip(out["id_a"], out["id_b"]))
     planted = {(f"d{i:03d}", f"d{i + 100:03d}") for i in range(10)}
     assert len(planted & found) >= 6   # simhash is coarser than minhash
@@ -203,7 +203,7 @@ def test_signature_ops_preserve_long_ids(spark):
     assert dict(mh.dtypes)["vec_id"] == "bigint"
     assert dict(sh.dtypes)["vec_id"] == "bigint"
     pairs = dedup.simhash_near_dups(df, max_hamming=0, n_bits=16,
-                                    prefix_bits=4, id_col="vec_id") \
+                                    n_blocks=4, id_col="vec_id") \
         .toPandas()
     # ids 2 and 9 share identical tokens -> identical fingerprints;
     # numeric ordering must give (2, 9), and 10 > 9 numerically even
@@ -256,3 +256,25 @@ def test_token_fixtures_are_non_negative(spark, sf_dir):
     n_neg = docs.select(
         F.explode("tokens").alias("t")).where(F.col("t") < 0).count()
     assert n_neg == 0
+
+
+def test_simhash_near_dups_recall_is_exact(spark, sf_dir):
+    """The pigeonhole block scheme must find EVERY pair within
+    max_hamming (recall 1.0 vs brute-force Hamming over all pairs) —
+    the r02 single-prefix probe lost ~59% of hamming-3 pairs."""
+    from apollon_spark.tokenize import docs_from_documents
+    docs = docs_from_documents(spark, sf_dir).limit(200)
+    max_h, n_bits = 6, 16     # small space -> plenty of true pairs
+    got = dedup.simhash_near_dups(docs, max_hamming=max_h,
+                                  n_bits=n_bits).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    sh = dedup.simhash_docs(docs, n_bits).toPandas()
+    ids, vals = sh["doc_id"].to_numpy(), sh["sh"].to_numpy()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(vals[i]) ^ int(vals[j])).count("1") <= max_h:
+                want.add(tuple(sorted((ids[i], ids[j]))))
+    assert want, "fixture must contain true near-dup fingerprints"
+    assert got_pairs == want          # recall 1.0 AND no false pairs

@@ -75,7 +75,7 @@ def test_dedup_family_empty(spark, empty_docs, empty_emb):
     assert dedup.minhash_docs(empty_docs, 4, 2).count() == 0
     assert dedup.simhash_docs(empty_docs, 8).count() == 0
     assert dedup.simhash_near_dups(empty_docs, n_bits=8,
-                                   prefix_bits=2).count() == 0
+                                   n_blocks=4).count() == 0
     assert dedup.cosine_near_dups(empty_emb, "vec_id", "embedding",
                                   0.5).count() == 0
     assert dedup.cosine_near_dups_lsh(empty_emb, "vec_id", "embedding",
