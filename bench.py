@@ -99,6 +99,34 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
     }
 
 
+def _asof_skew(spark, sf_dir: str, strategy: str):
+    """Whale-key as-of: ONE hot user owns ~50% of all events (the
+    skew shape SCALE.md's salting claim is about). The bucketed
+    strategy splits the hot key across (user, time-bucket) salts so no
+    single task owns half the data; union runs the same input through
+    the plain per-key window for comparison."""
+    from pyspark.sql import functions as F
+
+    from apollon_spark.operators.asof import asof_join
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("user_id",
+                      F.when(F.col("event_id") % 2 == 0, F.lit(0))
+                      .otherwise(F.col("user_id"))))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "event_id",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      .alias("t_us")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id",
+                     F.unix_micros(F.col("ts").cast("timestamp"))
+                     .alias("rt"),
+                     F.round("value", 6).alias("purchase_value")))
+    kw = {"bucket_width": 3_600_000_000.0} if strategy == "bucketed" else {}
+    return asof_join(clicks, purch, on="t_us", right_on="rt",
+                     by="user_id", value_cols=["purchase_value"],
+                     strategy=strategy, **kw)
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -109,17 +137,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "topk_orders", "join_revenue",
              "features_battery", "features_split", "onsets",
              "ann_lsh", "ivf_ann", "lsh_pairs", "battery_time",
-             "bmu_fixed", "hmm"]
+             "bmu_fixed", "hmm", "ann_rerank"]
     qs = entrymod.queries()
+    # (measured r03: warm-caching the shared input scans does NOT help
+    # at this SF — the ~2s gates were single-task-UDF-bound on the
+    # one-partition compact input, fixed by spread_compact in
+    # segment_docs — so gates run cold-scan, like the driver's runs)
     # best-of-N per query (default 2): this box's random JVM stalls
     # can double a single cold run; same policy as the features bench
     n_runs = max(1, int(os.environ.get("BENCH_QUERY_RUNS", 2)))
     out = {}
-    for name in names:
+    skew_entries = {
+        "asof_skew_union": lambda s, d: _asof_skew(s, d, "union"),
+        "asof_skew_bucketed": lambda s, d: _asof_skew(s, d, "bucketed"),
+    }
+    for name in names + list(skew_entries):
+        fn = skew_entries.get(name) or qs[name]
         best = None
         for _ in range(n_runs):
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            fn(spark, sf_dir).count()
             el = time.time() - t0
             best = el if best is None else min(best, el)
         out[name] = round(best, 3)
@@ -140,18 +177,23 @@ def main() -> None:
         queries.update(bench_queries(spark, sf_dir))
 
     total = round(sum(queries.values()), 3)
-    # the round-1 suite was 21 queries; 6 were added in round 2, so the
-    # comparable-subset subtotal is reported alongside the full total
+    # the round-1 suite was 21 queries; 6 were added in round 2 and 3
+    # more in round 3, so the comparable-subset subtotals are reported
+    # alongside the full total
     R02_ADDED = {"ann_lsh", "ivf_ann", "lsh_pairs", "battery_time",
                  "bmu_fixed", "hmm"}
+    R03_ADDED = {"ann_rerank", "asof_skew_union", "asof_skew_bucketed"}
     r01_subset = round(sum(v for k, v in queries.items()
-                           if k not in R02_ADDED), 3)
+                           if k not in R02_ADDED | R03_ADDED), 3)
+    r02_subset = round(sum(v for k, v in queries.items()
+                           if k not in R03_ADDED), 3)
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "r01_comparable_suite_sec": r01_subset,
+        "r02_comparable_suite_sec": r02_subset,
         "sf": sf,
         "sequences_per_sec": feat["sequences_per_sec"],
         "sequences_per_sec_median": feat["sequences_per_sec_median"],

@@ -308,11 +308,13 @@ def test_stream_neardup_store_is_partition_pruned(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
 
-    # re-deliver the SAME batch content under a fresh checkpoint (new
-    # epoch): the anti-join must drop all of it — no duplicate store
-    # rows, no self-pairs emitted
-    import shutil
-    shutil.rmtree(paths["ckpt"])
+    # re-deliver the SAME content as NEW input files (same checkpoint
+    # -> a genuinely later epoch): identical content hits identical
+    # buckets, so the pruned read sees the prior rows and the
+    # anti-join must drop the whole batch — no duplicate store rows
+    # (across epochs, so dynamic overwrite can't mask it), no
+    # self-pairs
+    spark.createDataFrame(b1, cols).write.mode("append").parquet(src)
     run_once()
     store2 = spark.read.parquet(paths["store"]).toPandas()
     assert (store2.groupby("doc_id").size() == 4).all()
