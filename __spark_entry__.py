@@ -831,12 +831,27 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM mix
 """
 
 
+def _exact_double(v: float) -> str:
+    """A DuckDB expression evaluating to EXACTLY the float64 ``v``.
+    Plain decimal literals are parsed through DECIMAL (measured: only
+    1/3072 repr() literals survive bit-exact in DuckDB 1.0.0, and
+    ~20% are 1 ulp off even inside a ::DOUBLE[][] cast), so encode as
+    mantissa * 2^exp instead: the <=53-bit integer mantissa casts
+    exactly and pow(2.0, e) is a power of two — the product is a pure
+    exponent shift, no rounding (verified 3072/3072 exact)."""
+    import math
+    m, e = math.frexp(float(v))
+    return f"(CAST({int(m * (1 << 53))} AS DOUBLE) * pow(2.0, {e - 53}))"
+
+
 def _planes_literal(planes) -> str:
-    """Hyperplane matrix as a DuckDB DOUBLE[][] literal — repr() of a
-    float64 round-trips exactly, so the oracle's planes are
-    bit-identical to the seeded-rng planes the Spark workers derive."""
+    """Hyperplane matrix as a DuckDB DOUBLE[][] expression whose
+    values are bit-identical to the seeded-rng planes the Spark
+    workers derive (see ``_exact_double``) — a 1-ulp plane
+    perturbation could flip a bucket sign for an embedding whose
+    projection lands within summation error of zero."""
     return ("[" + ",".join(
-        "[" + ",".join(repr(float(v)) for v in row) + "]"
+        "[" + ",".join(_exact_double(v) for v in row) + "]"
         for row in planes) + "]")
 
 
@@ -938,8 +953,11 @@ def _media_features_sql(n: int = 32, dim: int = 8) -> str:
     accepts only VARCHAR, so the byte-level chain can't run in SQL;
     synth_media reads no test data, so the expected output is a pure
     function of (n, dim) exactly like media_frame_plan's regenerated
-    metadata). Values are exact dyadic rationals — no rounding on
-    either side."""
+    metadata). Values are exact dyadic rationals u32/2^32 — no
+    rounding on either side; emitted as CAST(u32 AS DOUBLE)/2^32
+    because a plain decimal literal is parsed through DECIMAL and
+    lands 1 ulp off for ~9% of values, while the integer cast and
+    power-of-two division are both exact (verified)."""
     import hashlib
 
     import numpy as np
@@ -950,11 +968,11 @@ def _media_features_sql(n: int = 32, dim: int = 8) -> str:
         while len(buf) < need:
             h = hashlib.sha256(h).digest()
             buf += h
-        arr = np.frombuffer(buf[:need], dtype="<u4").astype("float64") / 2**32
+        u32s = np.frombuffer(buf[:need], dtype="<u4")
         rows.extend(
             f"('m{i:06d}', 'image', CAST({j} AS INT), "
-            f"CAST({float(v)!r} AS DOUBLE))"
-            for j, v in enumerate(arr))
+            f"CAST({int(u)} AS DOUBLE) / 4294967296.0)"
+            for j, u in enumerate(u32s))
     return ("SELECT * FROM (VALUES " + ",\n".join(rows)
             + ") AS t(media_id, kind, dim_idx, value)")
 

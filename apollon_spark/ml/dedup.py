@@ -178,7 +178,11 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
     # few longs per (doc, band). Eager localCheckpoint (MEMORY_AND_DISK
     # blocks) instead of persist(): checkpoint blocks are reference-
     # GC'd with the returned frame, so repeated calls in a long-lived
-    # driver don't accumulate CacheManager entries.
+    # driver don't accumulate CacheManager entries. Tradeoff: truncated
+    # lineage means a lost executor fails the job instead of
+    # recomputing (don't combine with dynamic allocation; a batch-job
+    # retry is the recovery path) — accepted over unbounded cache
+    # growth.
     banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -366,6 +370,10 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     blocks = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*block_exprs)).alias("blk", "bval"))
+    # materialize before the self-join — without this each side
+    # recomputes the per-token simhash UDF stage (same rationale and
+    # tradeoff as lsh_candidate_pairs above)
+    blocks = blocks.localCheckpoint(eager=True)
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))

@@ -59,7 +59,7 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
 
 def _image_features(payload: bytes, dim: int) -> np.ndarray:
     """Real image decode (requires PIL): grayscale, resize to a 1 x dim
-    strip (deterministic box filter), pixels scaled to [0, 1]."""
+    strip with bilinear resampling, pixels scaled to [0, 1]."""
     import io
 
     from PIL import Image

@@ -213,11 +213,14 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
          scales with the batch's bucket collisions, NOT with corpus
          age. Band keys are computed once at append time, never
          recomputed over history;
-      3. docs already present in the store are dropped (anti-join on
-         the pruned read — an identical re-delivery hits the same
-         buckets, so its prior rows are guaranteed inside the pruned
-         partitions; a doc_id re-delivered with DIFFERENT content is
-         treated as new content, not a duplicate);
+      3. identical re-deliveries are dropped: the anti-join matches on
+         (doc_id, signature), and an identical re-delivery hits the
+         same buckets, so its prior rows are guaranteed inside the
+         pruned partitions — deterministic regardless of batch
+         composition. A doc_id re-delivered with DIFFERENT content has
+         a different signature, so it is kept as a NEW version (its
+         rows append; pairs against other docs are emitted; pairs
+         between its own versions are excluded by doc_id inequality);
       4. candidates from the banded equi-join (batch-vs-store and
          batch-vs-batch) are scored by SIGNATURE-estimated Jaccard —
          the full signatures ride the banded rows, so scoring needs no
@@ -265,8 +268,16 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
             if store is not None:
                 store = store.select("doc_id", "signature", "band",
                                      "band_sig", "pfx")
-                seen = store.select("doc_id").distinct()
-                banded_new_f = banded_new.join(seen, "doc_id", "left_anti")
+                # (doc_id, signature) anti-join, NOT doc_id alone: a
+                # doc_id-only match would silently drop a MODIFIED
+                # re-delivery whenever any batch doc's buckets overlap
+                # the old version's partitions — batch-composition-
+                # dependent semantics. Signature equality only ever
+                # matches identical content, whose own buckets are
+                # always inside the pruned read: deterministic.
+                seen = store.select("doc_id", "signature").distinct()
+                banded_new_f = banded_new.join(
+                    seen, ["doc_id", "signature"], "left_anti")
                 all_banded = store.unionByName(banded_new_f)
             else:
                 banded_new_f = banded_new

@@ -78,3 +78,23 @@ def test_rows_only_queries_run(spark, sf_dir):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_literal_oracle_values_are_bit_exact(spark, sf_dir, ddb):
+    """The main comparator's atol would mask 1-ulp literal-parse
+    drift (DuckDB 1.0.0 parses plain decimal literals through DECIMAL
+    — measured 1 ulp off for ~9-20% of repr() values). The
+    literal-embedding oracles must be BIT-exact: media values via
+    CAST(u32)/2^32 and hyperplanes via mantissa * 2^exp."""
+    got = _canon(entrymod.queries()["media_features"](spark, sf_dir)
+                 .toPandas())
+    want = _canon(ddb.execute(
+        entrymod.oracle_sql()["media_features"]).fetchdf())
+    assert got["value"].tolist() == want["value"].tolist()
+
+    from apollon_spark.ml.simsearch import hyperplanes
+    for planes in (hyperplanes(64, 4, 11),
+                   np.random.default_rng(11).standard_normal((48, 64))):
+        lit = entrymod._planes_literal(planes)
+        flat = ddb.execute(f"SELECT {lit}::DOUBLE[][]").fetchone()[0]
+        assert [x for row in flat for x in row] == planes.ravel().tolist()

@@ -320,3 +320,48 @@ def test_stream_neardup_store_is_partition_pruned(spark, tmp_path):
     assert (store2.groupby("doc_id").size() == 4).all()
     pairs = spark.read.parquet(paths["pairs"]).toPandas()
     assert not any(r.id_a == r.id_b for r in pairs.itertuples())
+
+
+def test_stream_neardup_modified_redelivery_is_new_version(spark, tmp_path):
+    """A doc_id re-delivered with MODIFIED content must NOT be dropped
+    by the re-delivery anti-join (which matches on (doc_id, signature),
+    not doc_id): the new version's rows append to the store and its
+    near-dup pairs against OTHER docs are emitted."""
+    import numpy as np
+    from apollon_spark.streaming import stream_minhash_neardup
+
+    rng = np.random.default_rng(12)
+    cols = "doc_id string, tokens array<int>, n_tok int, source string"
+
+    def doc(doc_id, toks):
+        return (doc_id, [int(x) for x in toks], len(toks), "s")
+
+    base = rng.integers(0, 300, 120)
+    other = rng.integers(0, 300, 120)
+    b1 = [doc("target", base), doc("other", other),
+          doc("othercopy", other)]        # planted pair -> pairs non-empty
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, cols).write.mode("append").parquet(src)
+    paths = {k: str(tmp_path / k) for k in ("store", "pairs", "ckpt")}
+
+    def run_once():
+        q = stream_minhash_neardup(
+            spark, src, paths["store"], paths["pairs"], paths["ckpt"],
+            n_hashes=32, n_bands=8, threshold=0.6)
+        q.awaitTermination()
+
+    run_once()
+    # batch 2: same doc_id "target", near-copy of OTHER's content ->
+    # different signature than stored target, near-dup of other docs
+    mod = other.copy()
+    mod[rng.choice(120, 3, replace=False)] = rng.integers(0, 300, 3)
+    spark.createDataFrame([doc("target", mod)], cols) \
+        .write.mode("append").parquet(src)
+    run_once()
+
+    store = spark.read.parquet(paths["store"]).toPandas()
+    # target now has TWO versions: 8 banded rows each
+    assert len(store[store["doc_id"] == "target"]) == 16
+    pairs = spark.read.parquet(paths["pairs"]).toPandas()
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.itertuples()}
+    assert ("other", "target") in got or ("othercopy", "target") in got
