@@ -611,15 +611,30 @@ def _q_onsets(spark, sf_dir):
     return detect_onsets(docs, cfg, n_before=2, n_after=2, delta=0.05)
 
 
-def _q_som_bmu(spark, sf_dir):
-    from apollon_spark.som import SomParams, assign_bmu, fit_batch_som
+def _q_som_train(spark, sf_dir):
+    """Distributed batch-SOM TRAINING value-oracled end-to-end: with
+    explicit init weights (the first 16 embedding vectors), the
+    2-epoch fit is a pure function of the data — the DuckDB oracle
+    re-derives the full recursion (BMU argmin -> neighborhood-weighted
+    means -> next epoch on the updated weights) with the
+    grid-distance/kernel matrices embedded as exact literals. Output =
+    final weights in (unit, dim_idx, w) long form. BMU *assignment* is
+    separately oracled by ``bmu_fixed``; the sampled-init training
+    path stays covered by tests/test_som.py."""
+    import numpy as np
+    from apollon_spark.som import SomParams, fit_batch_som
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", F.col("embedding").cast("array<double>")
                 .alias("embedding"))
-    weights, _ = fit_batch_som(emb, "embedding",
-                               SomParams(4, 4, n_iter=3, seed=10))
-    return assign_bmu(emb, "embedding", weights).select(
-        "vec_id", "bmu", F.round("bmu_dist", 6).alias("bmu_dist"))
+    wrows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    w0 = np.array([r["embedding"] for r in wrows], "float64")
+    data = emb.where(F.col("vec_id") >= 16)
+    weights, _ = fit_batch_som(data, "embedding",
+                               SomParams(4, 4, n_iter=2), w0=w0)
+    rows = [(u, j, round(float(weights[u, j]), 6))
+            for u in range(weights.shape[0])
+            for j in range(weights.shape[1])]
+    return spark.createDataFrame(rows, "unit int, dim_idx int, w double")
 
 
 def _q_bmu_fixed(spark, sf_dir):
@@ -737,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _q_topk_orders,
         "window_count_events": _q_window_count_events,
         "bmu_fixed": _q_bmu_fixed,
+        "som_train": _q_som_train,
         "backfill_clip": _q_backfill_clip,
         "rolling_stats": _q_rolling_stats,
         "normalize_stats": _q_normalize_stats,
@@ -750,7 +766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_split": _q_features_split,
         "hmm": _q_hmm,
         "onsets": _q_onsets,
-        "som_bmu": _q_som_bmu,
         "ann_lsh": _q_ann_lsh,
     }
 
@@ -945,6 +960,86 @@ sc AS (
 SELECT id_a, id_b, cos_sim FROM sc
 WHERE cos_sim >= {thr} AND abs(cos_sim - {thr}) > 1e-4
 """
+
+
+def _som_train_sql(n_rows: int = 4, n_cols: int = 4, n_iter: int = 2,
+                   dim: int = 64) -> str:
+    """The batch-SOM training recursion in DuckDB: per epoch, BMU =
+    argmin_unit of the squared euclidean distance (ties -> lowest
+    unit, matching cdist argmin), then every unit's new weight is the
+    neighborhood-kernel-weighted mean of the data (den == 0 keeps the
+    old weight, matching the np.where(mask) update). The per-epoch
+    gaussian kernel matrices h[bmu, unit] depend only on the lattice
+    and the radius decay schedule, so they are embedded as exact
+    literals (``_exact_double``); init weights = the first n_units
+    embedding rows, derived in SQL."""
+    from apollon_spark.som import (SomGrid, SomParams, _decay_radius,
+                                   gauss_kernel, grid_dists)
+    p = SomParams(n_rows, n_cols, n_iter=n_iter)
+    grid = SomGrid(n_rows, n_cols)
+    gd = grid_dists(grid, "euclidean")
+    n_units = grid.n_units
+    rng = f"range(1,{dim + 1})"
+
+    def h_cte(epoch: int) -> str:
+        h = gauss_kernel(gd, _decay_radius(p, epoch))
+        vals = ",".join(
+            f"({b},{u},{_exact_double(h[b, u])})"
+            for b in range(n_units) for u in range(n_units))
+        return (f"h{epoch}(bmu, unit, hv) AS "
+                f"(SELECT * FROM (VALUES {vals}) t(bmu, unit, hv))")
+
+    # epoch 0 scores against the array-typed w0; later epochs against
+    # the (unit, j, w) long form produced by the previous update
+    parts = [h_cte(e) for e in range(n_iter)]
+    parts.append(
+        f"w0 AS (SELECT CAST(vec_id AS INT) AS unit, embedding AS w "
+        f"FROM embeddings WHERE vec_id < {n_units})")
+    parts.append(
+        f"data AS (SELECT vec_id, embedding AS e FROM embeddings "
+        f"WHERE vec_id >= {n_units})")
+    parts.append(
+        f"dims AS (SELECT CAST(unnest(range(1, {dim + 1})) AS INT) AS j)")
+    parts.append(f"""
+d0 AS (
+  SELECT data.vec_id, w0.unit,
+         list_sum(list_transform({rng}, i ->
+           (CAST(e[i] AS DOUBLE) - w[i]) * (CAST(e[i] AS DOUBLE) - w[i])))
+           AS d2
+  FROM data, w0)""")
+    for e in range(n_iter):
+        prev_w = "w0.w[u.j]" if e == 0 else f"wl{e}.w"
+        prev_join = ("JOIN w0 ON w0.unit = u.unit" if e == 0
+                     else f"JOIN wl{e} ON wl{e}.unit = u.unit "
+                          f"AND wl{e}.j = u.j")
+        parts.append(f"""
+b{e} AS (SELECT vec_id, unit AS bmu FROM
+  (SELECT vec_id, unit,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, unit) AS rn
+   FROM d{e}) WHERE rn = 1)""")
+        parts.append(f"""
+u{e} AS (
+  SELECT h{e}.unit, dims.j,
+         sum(h{e}.hv * CAST(data.e[dims.j] AS DOUBLE)) AS num,
+         sum(h{e}.hv) AS den
+  FROM data JOIN b{e} USING (vec_id) JOIN h{e} ON h{e}.bmu = b{e}.bmu,
+       dims
+  GROUP BY h{e}.unit, dims.j)""")
+        parts.append(f"""
+wl{e + 1} AS (
+  SELECT u.unit, u.j,
+         CASE WHEN u.den > 0 THEN u.num / u.den ELSE {prev_w} END AS w
+  FROM u{e} u {prev_join})""")
+        if e + 1 < n_iter:
+            parts.append(f"""
+d{e + 1} AS (
+  SELECT data.vec_id, wl{e + 1}.unit,
+         sum((CAST(data.e[wl{e + 1}.j] AS DOUBLE) - wl{e + 1}.w)
+             * (CAST(data.e[wl{e + 1}.j] AS DOUBLE) - wl{e + 1}.w)) AS d2
+  FROM data, wl{e + 1} GROUP BY data.vec_id, wl{e + 1}.unit)""")
+    return (f"WITH {', '.join(parts)}\n"
+            f"SELECT unit, CAST(j - 1 AS INT) AS dim_idx, "
+            f"round(w, 6) AS w FROM wl{n_iter}")
 
 
 def _media_features_sql(n: int = 32, dim: int = 8) -> str:
@@ -1352,6 +1447,7 @@ FROM ranked WHERE rn = 1
         "ann_rerank": _ann_rerank_sql(),
         "cosine_neardup_lsh": _cosine_lsh_sql(),
         "media_features": _media_features_sql(),
+        "som_train": _som_train_sql(),
         "media_frame_plan": """
 WITH meta AS (
   SELECT printf('m%06d', i) AS media_id,

@@ -227,20 +227,35 @@ def _decay_radius(p: SomParams, epoch: int) -> float:
 
 
 def fit_batch_som(vectors: DataFrame, vec_col: str, p: SomParams,
-                  sample_init: int = 1024) -> tuple[np.ndarray, list[float]]:
+                  sample_init: int = 1024,
+                  w0: np.ndarray | None = None
+                  ) -> tuple[np.ndarray, list[float]]:
     """Distributed batch-SOM. ``vectors`` has an array<double> column
     ``vec_col``. Returns (weights (n_units, d), per-epoch quantization
     errors). Each epoch = one broadcast + one mapInPandas scan +
-    driver-side combine (weights are n_units x d — tiny)."""
+    driver-side combine (weights are n_units x d — tiny).
+
+    ``w0``: explicit (n_units, d) initial weights — bypasses the
+    sampled init, making the whole fit a deterministic function of the
+    input (the ``som_train`` gate's DuckDB oracle re-derives the full
+    epoch recursion that way)."""
     first = vectors.select(vec_col).first()
     if first is None:
         raise ValueError("empty input")
     d = len(first[0])
     grid = SomGrid(p.n_rows, p.n_cols)
     gd = grid_dists(grid, KERNEL_GRID_METRIC[p.kernel])
-    sample = np.array(
-        [r[0] for r in vectors.select(vec_col).limit(sample_init).collect()])
-    weights = init_weights(p.init, (p.n_rows, p.n_cols, d), sample, p.seed)
+    if w0 is not None:
+        if w0.shape != (grid.n_units, d):
+            raise ValueError(f"w0 shape {w0.shape} != "
+                             f"({grid.n_units}, {d})")
+        weights = np.asarray(w0, dtype="float64").copy()
+    else:
+        sample = np.array(
+            [r[0] for r in
+             vectors.select(vec_col).limit(sample_init).collect()])
+        weights = init_weights(p.init, (p.n_rows, p.n_cols, d), sample,
+                               p.seed)
     kern_fn = KERNELS[p.kernel]
     metric = p.metric
     n_units = grid.n_units
