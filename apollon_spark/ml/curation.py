@@ -1,0 +1,159 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark-contamination checks, deterministic stratified sampling,
+vocabulary statistics, and intra-document repetition metrics
+(Gopher-style quality rules, Rae et al. 2021 §A1.1 — public paper).
+
+Everything is integer arithmetic or a single IEEE division of two
+exact integers, so every output is bit-identical between Spark and
+the ANSI-SQL oracle (the repo's established exactness discipline).
+
+Token-packing precondition: n-gram keys are packed as
+t0*65536 + t1*256 + t2, exact only for token ids in [0, 256) — the
+canonical docs table's token space. For larger vocabularies swap the
+packing for xxhash64(concat_ws(...)); the join shapes are unchanged.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shingles(k: int) -> str:
+    """Spark SQL expr: list of packed k-gram keys over ``tokens``
+    (0-based indexing; base-256 positional packing)."""
+    terms = " + ".join(
+        f"cast(tokens[i + {j}] as long) * {256 ** (k - 1 - j)}"
+        for j in range(k))
+    return f"transform(sequence(0, n_tok - {k}), i -> {terms})"
+
+
+def doc_ngrams(docs: DataFrame, k: int = 3,
+               distinct: bool = True) -> DataFrame:
+    """(doc_id, gram) exploded k-gram view; docs shorter than k emit
+    nothing. ``distinct`` dedups grams within a doc (the standard
+    decontamination convention: one hit per unique gram)."""
+    arr = F.expr(_shingles(k))
+    if distinct:
+        arr = F.array_distinct(arr)
+    return (docs.where(F.col("n_tok") >= k)
+            .select("doc_id", F.explode(arr).alias("gram")))
+
+
+def contamination_check(docs: DataFrame, bench: DataFrame,
+                        k: int = 3) -> DataFrame:
+    """Per-doc overlap of the doc's distinct k-grams with a benchmark
+    set's gram universe — the standard train/eval decontamination
+    scan (e.g. GPT-3 App. C; public).
+
+    Returns (doc_id, n_grams, n_hit, hit_frac). Scale: the benchmark
+    gram set is distinct'd then BROADCAST (eval suites are tiny next
+    to the corpus), so the corpus side is one scan + one map-side
+    hash join + one groupBy(doc_id) whose partial aggregation
+    combines map-side; no corpus self-shuffle."""
+    bench_grams = (doc_ngrams(bench, k).select("gram").distinct()
+                   .withColumn("_hit", F.lit(1)))
+    grams = doc_ngrams(docs, k)
+    hits = (grams.join(F.broadcast(bench_grams), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.count("_hit").alias("n_hit")))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+            .withColumn(
+                "hit_frac",
+                F.when(F.col("n_grams") > 0,
+                       F.col("n_hit").cast("double") /
+                       F.col("n_grams").cast("double"))
+                .otherwise(F.lit(0.0))))
+
+
+def benchmark_split(docs: DataFrame, hex_prefix: str = "0") -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, benchmark) split by md5(doc_id) prefix —
+    md5 hex is identical in Spark and DuckDB, so the split is
+    reproducible in the SQL oracle. prefix '0' ~ 1/16 of docs."""
+    is_bench = F.substring(F.md5("doc_id"), 1, len(hex_prefix)) == hex_prefix
+    return docs.where(~is_bench), docs.where(is_bench)
+
+
+def sample_stratified(docs: DataFrame, quota: int,
+                      by: str = "source") -> DataFrame:
+    """Deterministic per-stratum quota sample: within each ``by``
+    group keep the ``quota`` docs with the smallest
+    (md5(doc_id), doc_id) — a seedless, engine-reproducible shuffle
+    order (md5 is uniform on doc_id, so this is an unbiased k-sample
+    per stratum).
+
+    Returns (source, doc_id, rk). Scale: one shuffle on ``by``; the
+    per-stratum top-k is a window row_number with partial top-k
+    pushdown (Spark's WindowGroupLimit takes care of discarding
+    beyond-quota rows before the sort spills); a hot stratum is
+    bounded by quota on the output side."""
+    w = Window.partitionBy(by).orderBy(F.md5("doc_id"), F.col("doc_id"))
+    return (docs.select(by, "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= quota))
+
+
+def sample_rate(docs: DataFrame, rate_hex: str = "4000") -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep docs whose
+    md5(doc_id) 4-hex prefix sorts below ``rate_hex``
+    (rate = int(rate_hex,16)/65536). Pure filter — pushes to the
+    scan, no shuffle at any scale."""
+    return docs.where(F.substring(F.md5("doc_id"), 1, 4) < rate_hex)
+
+
+def vocab_stats(docs: DataFrame, top_k: int = 32) -> DataFrame:
+    """Corpus token-frequency table: occurrences and document
+    frequency per token, ranked by (n_occur desc, token asc), top_k
+    rows. Scale: explode + groupBy(token) with map-side partials;
+    the ranked result is vocab-sized (tiny next to the corpus)."""
+    frames = docs.select("doc_id", F.explode("tokens").alias("token"))
+    stats = frames.groupBy("token").agg(
+        F.count("*").alias("n_occur"),
+        F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.orderBy(F.col("n_occur").desc(), F.col("token").asc())
+    return (stats.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("rank", "token", "n_occur", "n_docs"))
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition profile (Gopher-rule family):
+
+    * distinct_frac — distinct tokens / n_tok
+    * top2_frac     — occurrences of the most frequent bigram / bigram count
+    * dup3_frac     — trigram instances whose gram repeats within the
+                      doc / trigram count
+
+    Docs too short for a k-gram get 0.0 for that metric. All three
+    are single divisions of exact integers (bit-stable cross-engine).
+    """
+    def _gram_counts(k: int) -> DataFrame:
+        return (doc_ngrams(docs, k, distinct=False)
+                .groupBy("doc_id", "gram").agg(F.count("*").alias("c")))
+
+    bi = (_gram_counts(2).groupBy("doc_id")
+          .agg(F.max("c").alias("max2"), F.sum("c").alias("tot2")))
+    tri = (_gram_counts(3).groupBy("doc_id")
+           .agg(F.sum(F.when(F.col("c") > 1, F.col("c"))
+                      .otherwise(F.lit(0))).alias("dup3"),
+                F.sum("c").alias("tot3")))
+
+    def _frac(num, den):
+        return F.when(F.col(den) > 0,
+                      F.col(num).cast("double") / F.col(den).cast("double")
+                      ).otherwise(F.lit(0.0))
+
+    return (docs.select("doc_id", "n_tok", "tokens")
+            .withColumn(
+                "distinct_frac",
+                F.when(F.col("n_tok") > 0,
+                       F.size(F.array_distinct("tokens")).cast("double") /
+                       F.col("n_tok").cast("double")).otherwise(F.lit(0.0)))
+            .join(bi, "doc_id", "left").join(tri, "doc_id", "left")
+            .select("doc_id", "distinct_frac",
+                    _frac("max2", "tot2").alias("top2_frac"),
+                    _frac("dup3", "tot3").alias("dup3_frac")))

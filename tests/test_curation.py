@@ -1,0 +1,127 @@
+"""Curation operators vs pure-python oracles (exact, no tolerance)."""
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apollon_spark.ml.curation import (benchmark_split, contamination_check,
+                                       doc_ngrams, repetition_metrics,
+                                       sample_rate, sample_stratified,
+                                       vocab_stats)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(150):
+        n = int(rng.randint(0, 40))
+        toks = rng.randint(0, 256, n).tolist()
+        rows.append((f"doc_{i:04d}", toks, n,
+                     ["web", "book", "code"][i % 3]))
+    # a doc that repeats a benchmark doc's content (guaranteed overlap)
+    rows.append(("doc_copy", rows[0][1], rows[0][2], "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    return df, rows
+
+
+def _grams(toks, k, distinct=True):
+    g = [sum(toks[i + j] * 256 ** (k - 1 - j) for j in range(k))
+         for i in range(len(toks) - k + 1)]
+    return set(g) if distinct else g
+
+
+def test_doc_ngrams_exact(spark, corpus):
+    df, rows = corpus
+    got = {}
+    for r in doc_ngrams(df, 3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["gram"])
+    for d, toks, n, _ in rows:
+        if n >= 3:
+            assert got.get(d, set()) == _grams(toks, 3), d
+
+
+def test_contamination_oracle(spark, corpus):
+    df, rows = corpus
+    bench_ids = {d for d, *_ in rows
+                 if hashlib.md5(d.encode()).hexdigest()[0] == "0"}
+    assert bench_ids, "fixture must produce a non-empty benchmark"
+    train, bench = benchmark_split(df)
+    assert {r["doc_id"] for r in bench.select("doc_id").collect()} == bench_ids
+    out = {r["doc_id"]: r for r in contamination_check(train, bench).collect()}
+    bench_grams = set()
+    for d, toks, n, _ in rows:
+        if d in bench_ids and n >= 3:
+            bench_grams |= _grams(toks, 3)
+    for d, toks, n, _ in rows:
+        if d in bench_ids:
+            assert d not in out
+            continue
+        g = _grams(toks, 3) if n >= 3 else set()
+        r = out[d]
+        assert r["n_grams"] == len(g)
+        assert r["n_hit"] == len(g & bench_grams)
+        want = len(g & bench_grams) / len(g) if g else 0.0
+        assert r["hit_frac"] == want, d            # bit-exact single division
+
+
+def test_sample_stratified_deterministic(spark, corpus):
+    df, rows = corpus
+    out = sample_stratified(df, quota=5).collect()
+    per_src = Counter(r["source"] for r in out)
+    assert all(v == 5 for v in per_src.values())
+    for src in {s for *_, s in rows}:
+        ids = sorted((hashlib.md5(d.encode()).hexdigest(), d)
+                     for d, *_, s in rows if s == src)[:5]
+        want = [d for _, d in ids]
+        got = sorted((r["rk"], r["doc_id"]) for r in out if r["source"] == src)
+        assert [d for _, d in got] == want
+
+
+def test_sample_rate_threshold(spark, corpus):
+    df, rows = corpus
+    got = {r["doc_id"] for r in sample_rate(df, "4000").select("doc_id").collect()}
+    want = {d for d, *_ in rows
+            if hashlib.md5(d.encode()).hexdigest()[:4] < "4000"}
+    assert got == want
+
+
+def test_vocab_stats_oracle(spark, corpus):
+    df, rows = corpus
+    occ, dfreq = Counter(), Counter()
+    for d, toks, *_ in rows:
+        occ.update(toks)
+        dfreq.update(set(toks))
+    ranked = sorted(occ, key=lambda t: (-occ[t], t))[:32]
+    got = vocab_stats(df, 32).orderBy("rank").collect()
+    assert [r["token"] for r in got] == ranked
+    for r in got:
+        assert r["n_occur"] == occ[r["token"]]
+        assert r["n_docs"] == dfreq[r["token"]]
+
+
+def test_repetition_metrics_oracle(spark, corpus):
+    df, rows = corpus
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    for d, toks, n, _ in rows[:60] + [rows[-1]]:
+        r = out[d]
+        assert r["distinct_frac"] == (len(set(toks)) / n if n else 0.0)
+        bi = Counter(_grams(toks, 2, distinct=False))
+        assert r["top2_frac"] == (max(bi.values()) / sum(bi.values()) if bi else 0.0)
+        tri = Counter(_grams(toks, 3, distinct=False))
+        dup = sum(c for c in tri.values() if c > 1)
+        assert r["dup3_frac"] == (dup / sum(tri.values()) if tri else 0.0)
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [("rep", [1, 2] * 20, 40), ("ok", list(range(40)), 40)],
+        "doc_id string, tokens array<int>, n_tok int")
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert out["rep"]["dup3_frac"] == 1.0
+    assert out["ok"]["dup3_frac"] == 0.0
+    assert out["rep"]["top2_frac"] > 0.4
+    assert out["rep"]["distinct_frac"] == 2 / 40
