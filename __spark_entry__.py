@@ -61,26 +61,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_docs_profile(spark, sf_dir):
+    """Doc fingerprint + Gopher-style repetition metrics (distinct
+    ratio, top-bigram fraction, duplicate-trigram fraction) in one
+    per-doc profile gate."""
+    from apollon_spark.ml.curation import repetition_metrics
     from apollon_spark.ml.textstats import fingerprint_col
     docs = _docs(spark, sf_dir)
+    rep = repetition_metrics(docs).select(
+        "doc_id", "distinct_frac", "top2_frac", "dup3_frac")
     return docs.select(
         "doc_id", "n_tok", "source",
-        fingerprint_col(F.col("tokens")).alias("fingerprint"))
+        fingerprint_col(F.col("tokens")).alias("fingerprint")) \
+        .join(rep, "doc_id")
 
 
 def _q_frames_agg(spark, sf_dir):
-    from apollon_spark.operators.framing import explode_frames
-    frames = explode_frames(_docs(spark, sf_dir))
-    return frames.groupBy("doc_id").agg(
+    """Exploded-frame aggregate + the per-row reassembly invariant
+    (BASELINE input_hint: exploding then rebuilding by position must
+    reproduce the token array exactly) in one per-doc gate."""
+    from apollon_spark.operators.framing import explode_frames, reassembled_equal
+    docs = _docs(spark, sf_dir)
+    agg = explode_frames(docs).groupBy("doc_id").agg(
         F.count("*").alias("n_pos"),
         F.sum(F.col("token").cast("long")).alias("tok_sum"),
         F.sum(F.col("token").cast("long") * (F.col("position") + 1))
         .alias("tok_wsum"))
-
-
-def _q_reassembly(spark, sf_dir):
-    from apollon_spark.operators.framing import reassembled_equal
-    return reassembled_equal(_docs(spark, sf_dir))
+    return agg.join(reassembled_equal(docs), "doc_id")
 
 
 def _q_tumbling(spark, sf_dir):
@@ -266,33 +272,49 @@ def _q_sessionize(spark, sf_dir):
 
 
 def _q_locf(spark, sf_dir):
-    """Unbounded forward fill AND bounded pandas-ffill(limit=3) parity
-    (stale-data guard: observations stop propagating after 3 rows) in
-    one gate — both columns from the same sparse observation stream."""
-    from apollon_spark.operators.backfill import locf
+    """The full fill family in one gate over the same sparse stream:
+    unbounded forward fill, bounded pandas-ffill(limit=3) parity
+    (stale-data guard: observations stop propagating after 3 rows),
+    and edge-clip backfill (forward fill then backward fill of the
+    leading gap)."""
+    from apollon_spark.operators.backfill import fill_edges_clip, locf
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
         F.when(F.col("event_type") == "click", F.col("value"))
         .alias("click_value")) \
-        .withColumn("cv_l3", F.col("click_value"))
+        .withColumn("cv_l3", F.col("click_value")) \
+        .withColumn("cv", F.col("click_value"))
     filled = locf(ev, ["click_value"], on="t_us", by="user_id")
     filled = locf(filled, ["cv_l3"], on="t_us", by="user_id", limit=3)
+    filled = fill_edges_clip(filled, ["cv"], on="t_us", by="user_id")
     return filled.select("user_id", "event_id",
                          F.round("click_value", 6).alias("click_value"),
-                         F.round("cv_l3", 6).alias("cv_l3"))
+                         F.round("cv_l3", 6).alias("cv_l3"),
+                         F.round("cv", 6).alias("cv"))
 
 
 def _q_lag_delta(spark, sf_dir):
-    from apollon_spark.operators.backfill import lag_lead_delta
+    """Lag/lead deltas, gradient, flux PLUS the 2-lag delay embedding
+    (Takens coordinates v1=lead 3, v2=lead 6; rows without a complete
+    embedding keep null coordinates) — the windowed-shift family in
+    one gate."""
+    from apollon_spark.operators.backfill import (delay_embed_cols,
+                                                  lag_lead_delta)
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value")
     out = lag_lead_delta(ev, "value", on="t_us", by="user_id")
+    de = delay_embed_cols(ev, "value", on="t_us", delay=3, m_dim=3,
+                          by="user_id").select(
+        "user_id", "event_id",
+        F.round("value_d1", 6).alias("v1"),
+        F.round("value_d2", 6).alias("v2"))
     return out.select(
         "user_id", "event_id",
         F.round("value_delta", 6).alias("delta"),
         F.round("value_grad", 6).alias("grad"),
-        F.round(F.greatest("value_grad", F.lit(0.0)), 6).alias("flux"))
+        F.round(F.greatest("value_grad", F.lit(0.0)), 6).alias("flux")) \
+        .join(de, ["user_id", "event_id"], "left")
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -304,21 +326,19 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_minhash(spark, sf_dir):
-    from apollon_spark.ml.dedup import minhash_docs
-    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= _SHINGLE_K)
-    sigs = minhash_docs(docs, _MINHASH_N, _SHINGLE_K, _MINHASH_SEED)
-    return sigs.select(
-        "doc_id", F.posexplode("signature").alias("h_idx", "sig"))
-
-
-def _q_simhash(spark, sf_dir):
-    # batched-numpy hot path (same int arithmetic as simhash_col,
-    # tested equal in tests/test_dedup.py); the SQL form backs the
-    # DuckDB oracle
-    from apollon_spark.ml.dedup import simhash_docs
+    """MinHash signature components joined with the per-doc SimHash —
+    both fingerprint families verified in one gate (the batched-numpy
+    hot paths are tested equal to the SQL folds in tests/test_dedup.py;
+    the SQL forms back the DuckDB oracle)."""
+    from apollon_spark.ml.dedup import minhash_docs, simhash_docs
     docs = _docs(spark, sf_dir)
-    return simhash_docs(docs, _SIMHASH_BITS) \
-        .select("doc_id", F.col("sh").alias("simhash"))
+    eligible = docs.where(F.col("n_tok") >= _SHINGLE_K)
+    sigs = minhash_docs(eligible, _MINHASH_N, _SHINGLE_K, _MINHASH_SEED)
+    sh = simhash_docs(docs, _SIMHASH_BITS).select(
+        "doc_id", F.col("sh").alias("simhash"))
+    return sigs.select(
+        "doc_id", F.posexplode("signature").alias("h_idx", "sig")) \
+        .join(sh, "doc_id")
 
 
 def _q_lsh_pairs(spark, sf_dir):
@@ -417,16 +437,34 @@ def _q_window_count_events(spark, sf_dir):
              F.round(F.sum("value"), 4).alias("val_sum")))
 
 
-def _q_backfill_clip(spark, sf_dir):
-    from apollon_spark.operators.backfill import fill_edges_clip
-    ev = _events(spark, sf_dir).select(
-        "user_id", "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
-        F.when(F.col("event_type") == "click", F.col("value"))
-        .alias("cv"))
-    filled = fill_edges_clip(ev, ["cv"], on="t_us", by="user_id")
-    return filled.select("user_id", "event_id",
-                         F.round("cv", 6).alias("cv"))
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (ctx=512): integer-exact
+    per-sequence profile. The oracle re-derives the packing from a
+    window cumsum + token unnest — fine at sf0.01; the engine side
+    uses the two-phase offsets + slice explosion that scale."""
+    from apollon_spark.operators.packing import pack_profile
+    return pack_profile(_docs(spark, sf_dir), 512)
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: md5-prefix benchmark split,
+    distinct 3-gram broadcast join, per-doc overlap fraction."""
+    from apollon_spark.ml.curation import benchmark_split, contamination_check
+    train, bench = benchmark_split(_docs(spark, sf_dir))
+    return contamination_check(train, bench, 3)
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source quota sample (md5 shuffle order)."""
+    from apollon_spark.ml.curation import sample_stratified
+    return sample_stratified(_docs(spark, sf_dir), quota=40)
+
+
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus token-frequency table: top-32 tokens by occurrences
+    with document frequency."""
+    from apollon_spark.ml.curation import vocab_stats
+    return vocab_stats(_docs(spark, sf_dir), top_k=32)
 
 
 def _q_rolling_stats(spark, sf_dir):
@@ -461,19 +499,6 @@ def _q_normalize_stats(spark, sf_dir):
     return out.select("user_id", "event_id",
                       F.round("value_z", 6).alias("z"),
                       F.round("value_smooth", 6).alias("smoothed"))
-
-
-def _q_delay_embed(spark, sf_dir):
-    from apollon_spark.operators.backfill import delay_embed_cols
-    ev = _events(spark, sf_dir).select(
-        "user_id", "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value")
-    out = delay_embed_cols(ev, "value", on="t_us", delay=3, m_dim=3,
-                           by="user_id")
-    return out.select("user_id", "event_id",
-                      F.round("value", 6).alias("v0"),
-                      F.round("value_d1", 6).alias("v1"),
-                      F.round("value_d2", 6).alias("v2"))
 
 
 def _q_join_revenue(spark, sf_dir):
@@ -708,13 +733,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 gates — the driver evaluates at most the first 50
     keys, so the registered set is consolidated to fit (near-duplicate
     option gates merged: asof tolerance/forward/nearest/strict ->
-    asof_options, locf_limit -> locf, rolling_median -> rolling_stats,
-    standardize+smooth_stat -> normalize_stats; per-option coverage
-    stays in pytest). Gates that missed an evaluation window in a
-    previous round lead the dict, value-oracled gates next, rows-only
-    (non-SQL-expressible, pytest-verified) last."""
+    asof_options, locf_limit + backfill_clip -> locf, rolling_median
+    -> rolling_stats, standardize+smooth_stat -> normalize_stats,
+    reassembly -> frames_agg, delay_embed -> lag_delta, simhash ->
+    minhash; per-option coverage stays in pytest). New gates and any
+    that missed an evaluation window in a previous round lead the
+    dict, value-oracled gates next, rows-only (non-SQL-expressible,
+    pytest-verified) last."""
     return {
-        # previously outside the evaluation window — first
+        # newest gates + any that missed an evaluation window — first
+        "pack_sequences": _q_pack_sequences,
+        "contamination": _q_contamination,
+        "sample_stratified": _q_sample_stratified,
+        "vocab_topk": _q_vocab_topk,
         "ivf_ann": _q_ivf_ann,
         "media_features": _q_media_features,
         "nonlinear": _q_nonlinear,
@@ -724,7 +755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-oracled gates
         "docs_profile": _q_docs_profile,
         "frames_agg": _q_frames_agg,
-        "reassembly": _q_reassembly,
         "tumbling": _q_tumbling,
         "sliding": _q_sliding,
         "segment_meta": _q_segment_meta,
@@ -742,7 +772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_delta": _q_lag_delta,
         "dedup_exact": _q_dedup_exact,
         "minhash": _q_minhash,
-        "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
         "lsh_pairs": _q_lsh_pairs,
         "media_frame_plan": _q_media_frame_plan,
@@ -753,10 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_count_events": _q_window_count_events,
         "bmu_fixed": _q_bmu_fixed,
         "som_train": _q_som_train,
-        "backfill_clip": _q_backfill_clip,
         "rolling_stats": _q_rolling_stats,
         "normalize_stats": _q_normalize_stats,
-        "delay_embed": _q_delay_embed,
         "join_revenue": _q_join_revenue,
         "onset_gather": _q_onset_gather,
         "cosine_neardup": _q_cosine_neardup,
@@ -800,13 +827,35 @@ sigs AS (SELECT doc_id, [{sig_cols}] AS signature
          FROM (SELECT doc_id, {sig_exprs} FROM shingled))"""
 
 
-def _minhash_sql() -> str:
+def _simhash_cte() -> str:
+    """CTE fragment (no WITH) deriving per-doc SimHash from docs."""
+    bit_terms = []
+    for b in range(_SIMHASH_BITS):
+        vote = (f"list_sum(list_transform(mixed, m -> "
+                f"CASE WHEN (m & {1 << b}) != 0 THEN 1 ELSE -1 END))")
+        bit_terms.append(
+            f"CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END")
+    total = " + ".join(bit_terms)
     return f"""
-{_minhash_sigs_cte()}
-SELECT doc_id,
+mix AS (
+  SELECT doc_id,
+         list_transform(tokens, x ->
+           (CAST(x AS BIGINT) * 2654435761) % 4294967296) AS mixed
+  FROM docs
+),
+sh AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM mix)"""
+
+
+def _minhash_sql() -> str:
+    # MinHash components joined with the per-doc SimHash (merged gate)
+    return f"""
+{_minhash_sigs_cte()},
+{_simhash_cte().strip()}
+SELECT s.doc_id,
        CAST(generate_subscripts(signature, 1) - 1 AS INT) AS h_idx,
-       unnest(signature) AS sig
-FROM sigs
+       unnest(signature) AS sig,
+       sh.simhash
+FROM sigs s JOIN sh USING (doc_id)
 """
 
 
@@ -823,26 +872,6 @@ banded AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-"""
-
-
-def _simhash_sql() -> str:
-    bit_terms = []
-    for b in range(_SIMHASH_BITS):
-        vote = (f"list_sum(list_transform(mixed, m -> "
-                f"CASE WHEN (m & {1 << b}) != 0 THEN 1 ELSE -1 END))")
-        bit_terms.append(
-            f"CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END")
-    total = " + ".join(bit_terms)
-    return f"""
-{_W},
-mix AS (
-  SELECT doc_id,
-         list_transform(tokens, x ->
-           (CAST(x AS BIGINT) * 2654435761) % 4294967296) AS mixed
-  FROM docs
-)
-SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM mix
 """
 
 
@@ -1123,26 +1152,61 @@ def oracle_sql() -> dict[str, str]:
         ELSE (leadv - lagv) / 2.0 END"""
     return {
         "docs_profile": f"""
-{_W}
-SELECT doc_id, n_tok, source,
+{_W},
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, n_tok - 1),
+           i -> CAST(tokens[i + 1] AS BIGINT) * 256
+              + CAST(tokens[i + 2] AS BIGINT))) AS gram
+  FROM docs WHERE n_tok >= 2
+),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+bi AS (SELECT doc_id, max(c) AS max2, CAST(sum(c) AS BIGINT) AS tot2
+       FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, n_tok - 2),
+           i -> CAST(tokens[i + 1] AS BIGINT) * 65536
+              + CAST(tokens[i + 2] AS BIGINT) * 256
+              + CAST(tokens[i + 3] AS BIGINT))) AS gram
+  FROM docs WHERE n_tok >= 3
+),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+tri AS (SELECT doc_id,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+               CAST(sum(c) AS BIGINT) AS tot3
+        FROM c3 GROUP BY doc_id)
+SELECT d.doc_id, n_tok, source,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
                       list_transform(tokens, x -> CAST(x AS BIGINT))),
-         (a, x) -> (a * 31 + x + 1) % 2147483647) AS fingerprint
-FROM docs
+         (a, x) -> (a * 31 + x + 1) % 2147483647) AS fingerprint,
+       CASE WHEN n_tok > 0
+            THEN CAST(len(list_distinct(tokens)) AS DOUBLE)
+                 / CAST(n_tok AS DOUBLE)
+            ELSE 0.0 END AS distinct_frac,
+       CASE WHEN COALESCE(tot2, 0) > 0
+            THEN CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE)
+            ELSE 0.0 END AS top2_frac,
+       CASE WHEN COALESCE(tot3, 0) > 0
+            THEN CAST(dup3 AS DOUBLE) / CAST(tot3 AS DOUBLE)
+            ELSE 0.0 END AS dup3_frac
+FROM docs d LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
 """,
         "frames_agg": f"""
-{_WF}
-SELECT doc_id, count(*) AS n_pos,
-       CAST(sum(CAST(token AS BIGINT)) AS BIGINT) AS tok_sum,
-       CAST(sum(CAST(token AS BIGINT) * (position + 1)) AS BIGINT) AS tok_wsum
-FROM frames GROUP BY doc_id
-""",
-        "reassembly": f"""
-{_WF}
-SELECT d.doc_id, (list(f.token ORDER BY f.position) = d.tokens) AS ok
-FROM docs d JOIN frames f ON d.doc_id = f.doc_id
-GROUP BY d.doc_id, d.tokens
+{_WF},
+agg AS (
+  SELECT doc_id, count(*) AS n_pos,
+         CAST(sum(CAST(token AS BIGINT)) AS BIGINT) AS tok_sum,
+         CAST(sum(CAST(token AS BIGINT) * (position + 1)) AS BIGINT) AS tok_wsum
+  FROM frames GROUP BY doc_id
+),
+ok AS (
+  SELECT d.doc_id, (list(f.token ORDER BY f.position) = d.tokens) AS ok
+  FROM docs d JOIN frames f ON d.doc_id = f.doc_id
+  GROUP BY d.doc_id, d.tokens
+)
+SELECT agg.*, ok.ok FROM agg JOIN ok USING (doc_id)
 """,
         "tumbling": f"""
 {_WF}
@@ -1383,30 +1447,42 @@ WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS t_us,
          CASE WHEN event_type = 'click' THEN value END AS cv
   FROM events
+),
+fwd AS (
+  SELECT user_id, event_id, t_us, cv,
+         last_value(cv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cvf
+  FROM e
 )
 SELECT user_id, event_id,
-       round(last_value(cv IGNORE NULLS) OVER (
-         PARTITION BY user_id ORDER BY t_us
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-         AS click_value,
+       round(cvf, 6) AS click_value,
        round(last_value(cv IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY t_us
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
-         AS cv_l3
-FROM e
+         AS cv_l3,
+       round(last_value(cvf IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY t_us DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cv
+FROM fwd
 """,
         "lag_delta": f"""
 WITH e AS (
   SELECT user_id, event_id, value,
          lag(value) OVER w AS lagv,
-         lead(value) OVER w AS leadv
+         lead(value) OVER w AS leadv,
+         lead(value, 3) OVER w AS lead3,
+         lead(value, 6) OVER w AS lead6
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
 )
 SELECT user_id, event_id,
        round(value - lagv, 6) AS delta,
        round({grad}, 6) AS grad,
-       round(greatest({grad}, 0.0), 6) AS flux
+       round(greatest({grad}, 0.0), 6) AS flux,
+       CASE WHEN lead6 IS NOT NULL THEN round(lead3, 6) END AS v1,
+       round(lead6, 6) AS v2
 FROM e
 """,
         "dedup_exact": """
@@ -1458,7 +1534,6 @@ SELECT media_id, duration_ms,
        CAST(unnest(range(0, duration_ms, 250)) AS INT) AS frame_ts_ms
 FROM meta
 """,
-        "simhash": _simhash_sql(),
         "jaccard_pairs": """
 WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1518,24 +1593,82 @@ SELECT event_type, epoch_us(ts) // 300000000 AS win_id,
        count(*) AS n, round(sum(value), 4) AS val_sum
 FROM events GROUP BY event_type, epoch_us(ts) // 300000000
 """,
-        "backfill_clip": """
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS t_us,
-         CASE WHEN event_type = 'click' THEN value END AS cv
-  FROM events
+        "pack_sequences": f"""
+{_W},
+off AS (
+  SELECT doc_id, tokens,
+         COALESCE(CAST(sum(CAST(n_tok AS BIGINT)) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS off
+  FROM docs
 ),
-fwd AS (
-  SELECT user_id, event_id, t_us,
-         last_value(cv IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY t_us
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
-  FROM e
+tok AS (
+  SELECT doc_id,
+         off + generate_subscripts(tokens, 1) - 1 AS g,
+         unnest(tokens) AS token
+  FROM off
 )
-SELECT user_id, event_id,
-       round(last_value(cv IGNORE NULLS) OVER (
-         PARTITION BY user_id ORDER BY t_us DESC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cv
-FROM fwd
+SELECT CAST(g // 512 AS BIGINT) AS seq_id,
+       count(*) AS n_tok,
+       CAST(sum(CAST(token AS BIGINT)) AS BIGINT) AS tok_sum,
+       CAST(sum(CAST(token AS BIGINT) * (g % 512 + 1)) AS BIGINT) AS tok_wsum,
+       count(DISTINCT doc_id) AS n_docs,
+       arg_min(doc_id, g) AS first_doc,
+       arg_max(doc_id, g) AS last_doc
+FROM tok GROUP BY g // 512
+""",
+        "contamination": f"""
+{_W},
+lab AS (
+  SELECT doc_id, tokens, n_tok,
+         substr(md5(doc_id), 1, 1) = '0' AS is_bench
+  FROM docs
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(0, n_tok - 2),
+           i -> CAST(tokens[i + 1] AS BIGINT) * 65536
+              + CAST(tokens[i + 2] AS BIGINT) * 256
+              + CAST(tokens[i + 3] AS BIGINT))) AS gram
+  FROM lab WHERE is_bench AND n_tok >= 3
+),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(0, n_tok - 2),
+           i -> CAST(tokens[i + 1] AS BIGINT) * 65536
+              + CAST(tokens[i + 2] AS BIGINT) * 256
+              + CAST(tokens[i + 3] AS BIGINT)))) AS gram
+  FROM lab WHERE NOT is_bench AND n_tok >= 3
+),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n_grams, count(bg.gram) AS n_hit
+  FROM dg LEFT JOIN bg USING (gram) GROUP BY dg.doc_id
+)
+SELECT l.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_hit, 0) AS n_hit,
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+            ELSE 0.0 END AS hit_frac
+FROM (SELECT doc_id FROM lab WHERE NOT is_bench) l
+LEFT JOIN hits USING (doc_id)
+""",
+        "sample_stratified": f"""
+{_W}
+SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id), doc_id) AS rk
+  FROM docs
+) WHERE rk <= 40
+""",
+        "vocab_topk": f"""
+{_WF}
+SELECT CAST(rank AS INT) AS rank, token, n_occur, n_docs FROM (
+  SELECT token, count(*) AS n_occur,
+         count(DISTINCT doc_id) AS n_docs,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+  FROM frames GROUP BY token
+) WHERE rank <= 32
 """,
         "rolling_stats": """
 SELECT user_id, event_id,
@@ -1560,18 +1693,6 @@ SELECT user_id, event_id,
        round(CASE WHEN value >= mu - sd AND value <= mu + sd
                   THEN mu ELSE value END, 6) AS smoothed
 FROM s
-""",
-        "delay_embed": """
-WITH e AS (
-  SELECT user_id, event_id, value,
-         lead(value, 3) OVER w AS v1,
-         lead(value, 6) OVER w AS v2
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
-)
-SELECT user_id, event_id, round(value, 6) AS v0,
-       round(v1, 6) AS v1, round(v2, 6) AS v2
-FROM e WHERE v2 IS NOT NULL
 """,
         "join_revenue": """
 SELECT n.n_name,

@@ -130,14 +130,19 @@ def _asof_skew(spark, sf_dir: str, strategy: str):
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # NOTE r03: simhash merged into the minhash gate (one timing now
+    # covers both signature families — comparable-subset subtotals
+    # account for it below)
     names = ["docs_profile", "tumbling", "segment_meta", "seg_energy",
              "asof_union", "asof_bucketed", "sessionize", "locf",
-             "lag_delta", "minhash", "simhash", "knn_cosine",
+             "lag_delta", "minhash", "knn_cosine",
              "cosine_neardup_lsh", "text_profile", "tpch_q1",
              "topk_orders", "join_revenue",
              "features_battery", "features_split", "onsets",
              "ann_lsh", "ivf_ann", "lsh_pairs", "battery_time",
-             "bmu_fixed", "hmm", "ann_rerank"]
+             "bmu_fixed", "hmm", "ann_rerank",
+             "pack_sequences", "contamination", "sample_stratified",
+             "vocab_topk"]
     qs = entrymod.queries()
     # (measured r03: warm-caching the shared input scans does NOT help
     # at this SF — the ~2s gates were single-task-UDF-bound on the
@@ -182,7 +187,9 @@ def main() -> None:
     # alongside the full total
     R02_ADDED = {"ann_lsh", "ivf_ann", "lsh_pairs", "battery_time",
                  "bmu_fixed", "hmm"}
-    R03_ADDED = {"ann_rerank", "asof_skew_union", "asof_skew_bucketed"}
+    R03_ADDED = {"ann_rerank", "asof_skew_union", "asof_skew_bucketed",
+                 "pack_sequences", "contamination", "sample_stratified",
+                 "vocab_topk"}
     r01_subset = round(sum(v for k, v in queries.items()
                            if k not in R02_ADDED | R03_ADDED), 3)
     r02_subset = round(sum(v for k, v in queries.items()

@@ -101,3 +101,15 @@ def test_textstats_empty(spark):
     from apollon_spark.ml.textstats import text_profile
     documents = spark.createDataFrame([], "doc_id long, text string")
     assert text_profile(documents).count() == 0
+
+
+def test_packing_curation_empty(spark, empty_docs):
+    from apollon_spark.ml.curation import (contamination_check,
+                                           repetition_metrics,
+                                           sample_stratified, vocab_stats)
+    from apollon_spark.operators.packing import pack_sequences
+    assert pack_sequences(empty_docs, 128).count() == 0
+    assert contamination_check(empty_docs, empty_docs).count() == 0
+    assert sample_stratified(empty_docs, 5).count() == 0
+    assert vocab_stats(empty_docs).count() == 0
+    assert repetition_metrics(empty_docs).count() == 0

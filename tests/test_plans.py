@@ -96,3 +96,29 @@ def test_bucketed_join_is_colocated(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bdocs")
         spark.sql("DROP TABLE IF EXISTS bmodel")
+
+
+def test_pack_sequences_bounded_exchanges(spark):
+    """Packing must show exactly the SCALE.md shuffle budget: one
+    range exchange (doc_id order), one hash exchange (seq_id
+    assembly), one broadcast (partition base offsets) — and NO
+    single-partition global-sort window."""
+    from apollon_spark.operators.packing import pack_sequences
+    docs = synth_docs(spark, 32, whales=False)
+    out = pack_sequences(docs, 256, n_buckets=4)
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan                  # base offsets
+    assert "rangepartitioning" in plan.lower()          # doc_id ranges
+    # no global (non-partitioned) sort of the full data: every Sort is
+    # inside a partitioning or the bounded groupBy
+    assert plan.count("Exchange") <= 4                  # range + hash + broadcast (+AQE read)
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast; the corpus side must not
+    self-shuffle before the per-doc aggregate."""
+    from apollon_spark.ml.curation import benchmark_split, contamination_check
+    docs = synth_docs(spark, 16, whales=False)
+    train, bench = benchmark_split(docs)
+    plan = _plan(contamination_check(train, bench))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
