@@ -25,7 +25,8 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["features", "onsets", "hmm", "som",
                              "position", "export", "nonlinear",
                              "dedup", "neardup", "ann", "textstats",
-                             "ingest", "stream-neardup"])
+                             "ingest", "stream-neardup",
+                             "pack", "sample", "contaminate"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-perseg", type=int, default=512)
@@ -69,6 +70,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="stream-neardup: checkpoint dir")
     ap.add_argument("--store", default=None,
                     help="stream-neardup: signature store dir")
+    ap.add_argument("--ctx-len", type=int, default=2048,
+                    help="pack: training-sequence context length")
+    ap.add_argument("--quota", type=int, default=0,
+                    help="sample: exact per-stratum quota (0 = use "
+                         "--rate-hex instead)")
+    ap.add_argument("--rate-hex", default="4000",
+                    help="sample: md5 4-hex-prefix threshold "
+                         "(rate = int(hex,16)/65536)")
+    ap.add_argument("--stratify-by", default="source",
+                    help="sample: stratum column for --quota mode")
+    ap.add_argument("--benchmark", default=None,
+                    help="contaminate: path of the benchmark docs "
+                         "table (default: md5-prefix split of --input)")
     ap.add_argument("--input-format", choices=["table", "wav"],
                     default="table",
                     help="'table' = parquet/Iceberg docs table; 'wav' = "
@@ -188,6 +202,41 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             n_pairs = 0       # no near-dups -> no readable output yet
         print(json.dumps({"pairs": n_pairs}))
+    elif args.stage == "pack":
+        # concat-and-chunk the tokenized docs table into fixed-context
+        # training sequences (exact corpus round-trip; test_packing)
+        from .operators.packing import pack_sequences
+        out = pack_sequences(docs, args.ctx_len)
+        storage.write_table(out, args.output)
+        stats = storage.read_table(spark, args.output) \
+            .selectExpr("count(*) AS n_seqs",
+                        "cast(sum(n_tok) as bigint) AS n_tokens").first()
+        print(json.dumps({"n_seqs": stats["n_seqs"],
+                          "n_tokens": stats["n_tokens"],
+                          "ctx_len": args.ctx_len}))
+    elif args.stage == "sample":
+        from .ml.curation import sample_rate, sample_stratified
+        if args.quota > 0:
+            keep = sample_stratified(docs, args.quota, by=args.stratify_by)
+            out = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+        else:
+            out = sample_rate(docs, args.rate_hex)
+        storage.write_table(out, args.output)
+        written = storage.read_table(spark, args.output).count()
+        print(json.dumps({"rows_in": docs.count(), "rows_out": written}))
+    elif args.stage == "contaminate":
+        from .ml.curation import benchmark_split, contamination_check
+        if args.benchmark:
+            bench = storage.read_table(spark, args.benchmark)
+            train = docs
+        else:
+            train, bench = benchmark_split(docs)
+        out = contamination_check(train, bench, k=args.shingle_k)
+        storage.write_table(out, args.output)
+        n_hit = (storage.read_table(spark, args.output)
+                 .where("hit_frac > 0").count())
+        print(json.dumps({"docs_scored": out.count(),
+                          "docs_contaminated": n_hit}))
     elif args.stage == "export":
         if args.export_format == "csv":
             storage.write_csv(docs, args.output)
