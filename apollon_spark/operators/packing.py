@@ -39,16 +39,23 @@ from pyspark.sql import types as T
 
 def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """(doc_id, tokens, n_tok, off) with off = sum of n_tok over all
-    docs with a strictly smaller doc_id. One range shuffle; the
-    within-partition cumsum is a single Arrow pass (no window
-    shuffle), partition base offsets are a B-row driver-side
-    prefix sum joined back by broadcast."""
+    docs with a strictly smaller doc_id.
+
+    The cumsum runs on a tokens-FREE (doc_id, n_tok) meta frame —
+    ~16 B/doc — so the heavy token payload never rides the range
+    shuffle and never crosses the Arrow boundary for bookkeeping:
+    one tiny range shuffle + per-partition Arrow cumsum (no window
+    shuffle) + a B-row driver-side prefix sum broadcast back, then
+    one equi-join attaches offsets to the token arrays (co-located
+    for free when docs use the ingest stage's doc_id-bucketed
+    layout). The meta pass executes twice (totals, then offsets) —
+    acceptable because it carries no tokens."""
     n_buckets = n_buckets or max(docs.sparkSession.sparkContext.defaultParallelism, 1)
-    part = (docs.select("doc_id", "tokens", "n_tok")
+    meta = (docs.select("doc_id", "n_tok")
             .repartitionByRange(n_buckets, "doc_id")
             .sortWithinPartitions("doc_id"))
 
-    out_schema = T.StructType(part.schema.fields + [
+    out_schema = T.StructType(meta.schema.fields + [
         T.StructField("_pid", T.IntegerType()),
         T.StructField("_loc_off", T.LongType()),
     ])
@@ -64,7 +71,7 @@ def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
             pdf = pdf.assign(_pid=pid, _loc_off=loc.astype("int64"))
             yield pdf
 
-    local = part.mapInPandas(cumsum, schema=out_schema)
+    local = meta.mapInPandas(cumsum, schema=out_schema)
     totals = {
         int(r["_pid"]): int(r["tot"])
         for r in local.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()
@@ -77,9 +84,11 @@ def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     base_df = spark.createDataFrame(
         [(pid, b) for pid, b in base.items()] or [(0, 0)],
         schema="_pid int, _base long")
-    return (local.join(F.broadcast(base_df), "_pid")
-            .select("doc_id", "tokens", "n_tok",
-                    (F.col("_base") + F.col("_loc_off")).alias("off")))
+    offsets = (local.join(F.broadcast(base_df), "_pid")
+               .select("doc_id",
+                       (F.col("_base") + F.col("_loc_off")).alias("off")))
+    return (docs.select("doc_id", "tokens", "n_tok")
+            .join(offsets, "doc_id"))
 
 
 def doc_seq_slices(docs: DataFrame, ctx_len: int,

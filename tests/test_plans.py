@@ -109,9 +109,19 @@ def test_pack_sequences_bounded_exchanges(spark):
     plan = _plan(out)
     assert "BroadcastExchange" in plan                  # base offsets
     assert "rangepartitioning" in plan.lower()          # doc_id ranges
-    # no global (non-partitioned) sort of the full data: every Sort is
-    # inside a partitioning or the bounded groupBy
-    assert plan.count("Exchange") <= 4                  # range + hash + broadcast (+AQE read)
+    # the range shuffle must be tokens-free: offsets are computed on
+    # the (doc_id, n_tok) meta frame only
+    import re
+    range_subtree = plan[plan.index("rangepartitioning"):]
+    feed = re.search(r"Project \[([^\]]*)\]", range_subtree).group(1)
+    assert "tokens" not in feed and "doc_id" in feed and "n_tok" in feed
+    # no GLOBAL sort anywhere (a bare Window.orderBy cumsum would show
+    # Sort [...], true — the single-task funnel the two-phase form avoids)
+    assert not re.search(r"Sort \[[^\]]*\], true", plan)
+    # shuffle budget: seq_id hash + doc_id range (+ joins/broadcasts +
+    # datagen's own RoundRobin spread); the token payload itself rides
+    # only the seq_id exchange at this scale
+    assert plan.count("Exchange") <= 7
 
 
 def test_contamination_broadcasts_benchmark(spark):
