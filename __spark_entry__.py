@@ -596,11 +596,21 @@ def _q_features_battery(spark, sf_dir):
 
 
 def _q_features_split(spark, sf_dir):
+    """The halo-split skew path (split_docs_halo + chunked battery +
+    reassembly), projected to its SQL-expressible time-domain columns
+    so the SPLIT pipeline gets a value-oracle of its own (pytest
+    separately proves split == unsplit bit-equal on every column;
+    the full-battery row shape stays covered by features_battery)."""
     from apollon_spark.operators.framing import FramingParams
     from apollon_spark.spectral import FeatureConfig, extract_features
     cfg = FeatureConfig(framing=FramingParams(32, 16))
-    return extract_features(_docs(spark, sf_dir), cfg, split=True,
-                            chunk_segs=3)
+    feats = extract_features(_docs(spark, sf_dir).where(F.col("n_tok") >= 32),
+                             cfg, split=True, chunk_segs=3)
+    return feats.select(
+        "doc_id", "seg_idx", "center",
+        F.round("energy", 6).alias("energy"),
+        F.round("rms", 6).alias("rms"),
+        F.round("spl", 6).alias("spl"))
 
 
 def _q_hmm(spark, sf_dir):
@@ -680,14 +690,25 @@ def _q_bmu_fixed(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """Full LSH-ANN pipeline end-to-end with a deterministic
+    rounded-sim top-5 cut: multi-probe bucket mining + exact-cosine
+    scoring (the ann_rerank math) + row_number over
+    (round(sim,6) DESC, id) — rank ordering on the rounded key is
+    engine-reproducible, so the whole pipeline value-oracles (the
+    operator's own raw-sim cut stays pytest-verified)."""
     import numpy as np
-    from apollon_spark.ml.simsearch import lsh_ann_topk
+    from apollon_spark.ml.simsearch import lsh_ann_candidates
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id") \
         .select("vec_id", "embedding").collect()
     queries = np.array([r["embedding"] for r in qrows], dtype="float64")
     q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
-    return lsh_ann_topk(emb, queries, q_ids, k=5, n_planes=4)
+    scored = lsh_ann_candidates(emb, queries, q_ids, n_planes=4, seed=11)
+    w = Window.partitionBy("q_id").orderBy(
+        F.round("sim", 6).desc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("q_id", "rank", "id", F.round("sim", 6).alias("sim")))
 
 
 def _q_media_features(spark, sf_dir):
@@ -711,14 +732,29 @@ def _q_nonlinear(spark, sf_dir):
 
 
 def _q_ivf_ann(spark, sf_dir):
+    """Full IVF pipeline with explicit centroids (the first 8
+    embedding vectors, derived in SQL by the oracle — same device as
+    som_train's w0): nearest-centroid routing, n_probe=3 probing,
+    exact-cosine scoring and a deterministic rounded-sim top-5 cut.
+    kmeans++ centroid TRAINING stays pytest-verified
+    (tests/test_simsearch.py)."""
     import numpy as np
-    from apollon_spark.ml.simsearch import ivf_topk
+    from apollon_spark.ml.simsearch import ivf_candidates
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id") \
         .select("vec_id", "embedding").collect()
     queries = np.array([r["embedding"] for r in qrows], dtype="float64")
     q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
-    return ivf_topk(emb, queries, q_ids, k=5, n_centroids=8, n_probe=3)
+    crows = emb.where(F.col("vec_id") < 8).orderBy("vec_id") \
+        .select("embedding").collect()
+    cents = np.array([r["embedding"] for r in crows], dtype="float64")
+    scored = ivf_candidates(emb, queries, q_ids, n_probe=3,
+                            centroids=cents)
+    w = Window.partitionBy("q_id").orderBy(
+        F.round("sim", 6).desc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("q_id", "rank", "id", F.round("sim", 6).alias("sim")))
 
 
 def _q_similarity_position(spark, sf_dir):
@@ -902,14 +938,14 @@ def _planes_literal(planes) -> str:
 _EMB_DIM = 64  # embeddings.parquet dimension at every generated SF
 
 
-def _ann_rerank_sql(n_planes: int = 4, seed: int = 11,
-                    thr: float = 0.2) -> str:
-    """Full LSH-ANN mining + scoring in DuckDB: the seeded hyperplanes
-    are embedded as literals, buckets re-derived as sign sums, the
-    multi-probe set is {bucket} U {bucket XOR (1<<b)}, and candidates
-    are re-scored with exact cosine (sign convention matches
+def _lsh_sims_cte(n_planes: int = 4, seed: int = 11) -> str:
+    """WITH ... sims fragment: LSH-ANN mining + scoring in DuckDB —
+    the seeded hyperplanes embedded as literals, buckets re-derived as
+    sign sums, the multi-probe set {bucket} U {bucket XOR (1<<b)},
+    candidates re-scored with exact cosine (sign convention matches
     lsh_bucket_stage: strictly > 0; signs are scale-invariant so raw
-    embeddings stand in for the normalized queries)."""
+    embeddings stand in for the normalized queries). Shared by the
+    ann_rerank (threshold cut) and ann_lsh (rank cut) oracles."""
     from apollon_spark.ml.simsearch import hyperplanes
     pls = _planes_literal(hyperplanes(_EMB_DIM, n_planes, seed))
     rng = f"range(1,{_EMB_DIM + 1})"
@@ -941,9 +977,85 @@ sims AS (
         * sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x))))
        AS sim
   FROM cand
-)
+)"""
+
+
+def _ann_rerank_sql(n_planes: int = 4, seed: int = 11,
+                    thr: float = 0.2) -> str:
+    return f"""
+{_lsh_sims_cte(n_planes, seed)}
 SELECT q_id, id, round(sim, 6) AS sim FROM sims
 WHERE sim >= {thr} AND abs(sim - {thr}) > 1e-4
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 4, seed: int = 11, k: int = 5) -> str:
+    """ann_lsh oracle: same mining + scoring as ann_rerank, cut by
+    row_number over the ROUNDED sim (deterministic cross-engine sort
+    key; matches the gate's window exactly)."""
+    return f"""
+{_lsh_sims_cte(n_planes, seed)}
+SELECT q_id, CAST(rank AS INT) AS rank, id, sim FROM (
+  SELECT q_id, id, round(sim, 6) AS sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(sim, 6) DESC, id) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
+def _ivf_ann_sql(n_cents: int = 8, n_probe: int = 3, k: int = 5) -> str:
+    """ivf_ann oracle: explicit centroids = the first ``n_cents``
+    embedding vectors; nearest-centroid routing (argmin, ties ->
+    lowest list — row_number ORDER BY d, list), per-query n_probe
+    nearest lists (stable argsort convention, same tiebreak), exact
+    cosine inside probed lists, rounded-sim top-k cut."""
+    rng = f"range(1,{_EMB_DIM + 1})"
+    d_expr = (f"list_sum(list_transform({rng}, i -> "
+              f"(CAST(x[i] AS DOUBLE) - cv[i]) * "
+              f"(CAST(x[i] AS DOUBLE) - cv[i])))")
+    return f"""
+WITH c AS (
+  SELECT CAST(vec_id AS BIGINT) AS list, embedding AS cv
+  FROM embeddings WHERE vec_id < {n_cents}
+),
+v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e FROM embeddings),
+dv AS (
+  SELECT v.id, c.list, {d_expr.replace('x[', 'v.e[')} AS d
+  FROM v CROSS JOIN c
+),
+assign AS (
+  SELECT id, list FROM (
+    SELECT id, list,
+           row_number() OVER (PARTITION BY id ORDER BY d, list) AS rn
+    FROM dv) WHERE rn = 1
+),
+q AS (SELECT id AS q_id, e AS qe FROM v WHERE id < 3),
+dq AS (
+  SELECT q.q_id, c.list, {d_expr.replace('x[', 'q.qe[')} AS d
+  FROM q CROSS JOIN c
+),
+probes AS (
+  SELECT q_id, list FROM (
+    SELECT q_id, list,
+           row_number() OVER (PARTITION BY q_id ORDER BY d, list) AS rn
+    FROM dq) WHERE rn <= {n_probe}
+),
+cand AS (SELECT p.q_id, a.id FROM probes p JOIN assign a USING (list)),
+sims AS (
+  SELECT cand.q_id, cand.id,
+     list_sum(list_transform({rng}, i -> CAST(q.qe[i] AS DOUBLE) * v.e[i]))
+     / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))
+        * sqrt(list_sum(list_transform(v.e, x -> CAST(x AS DOUBLE) * x))))
+       AS sim
+  FROM cand JOIN q ON q.q_id = cand.q_id JOIN v ON v.id = cand.id
+)
+SELECT q_id, CAST(rank AS INT) AS rank, id, sim FROM (
+  SELECT q_id, id, round(sim, 6) AS sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(sim, 6) DESC, id) AS rank
+  FROM sims
+) WHERE rank <= {k}
 """
 
 
@@ -1150,7 +1262,7 @@ def oracle_sql() -> dict[str, str]:
         WHEN lagv IS NULL THEN leadv - value
         WHEN leadv IS NULL THEN value - lagv
         ELSE (leadv - lagv) / 2.0 END"""
-    return {
+    out = {
         "docs_profile": f"""
 {_W},
 g2 AS (
@@ -1759,3 +1871,11 @@ SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
 FROM segs
 """,
     }
+    # derived entries: the split battery must equal the unsplit one
+    # column-for-column (pytest proves bit-equality), so its
+    # time-domain projection shares battery_time's oracle; the ANN
+    # gates get the rank-cut builders
+    out["features_split"] = out["battery_time"]
+    out["ann_lsh"] = _ann_lsh_sql()
+    out["ivf_ann"] = _ivf_ann_sql()
+    return out

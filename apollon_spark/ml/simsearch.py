@@ -237,17 +237,29 @@ def kmeans_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 20,
     return cents
 
 
-def ivf_topk(vectors: DataFrame, queries: np.ndarray, q_ids: np.ndarray,
-             k: int = 10, n_centroids: int = 16, n_probe: int = 4,
-             sample_size: int = 2048, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF ANN: route rows to nearest centroid, probe the ``n_probe``
-    centroids nearest to each query, exact re-rank inside the probed
-    lists."""
-    sample = np.stack([
-        np.asarray(r[0], "float64")
-        for r in vectors.select(vec_col).limit(sample_size).collect()])
-    cents = kmeans_centroids(sample, n_centroids)
+def ivf_candidates(vectors: DataFrame, queries: np.ndarray,
+                   q_ids: np.ndarray, n_centroids: int = 16,
+                   n_probe: int = 4, sample_size: int = 2048,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None) -> DataFrame:
+    """Rank-free IVF mining + scoring stage of ``ivf_topk``: route rows
+    to their nearest centroid (ties -> lowest list, argmin convention),
+    probe the ``n_probe`` centroids nearest to each query (stable
+    argsort -> lowest list on ties), exact-cosine score inside the
+    probed lists; returns (q_id, id, sim).
+
+    ``centroids`` overrides the kmeans++ training with explicit
+    vectors, making the whole stage a deterministic function of its
+    inputs — the contract gate passes the first rows of the corpus so
+    a SQL oracle can re-derive routing, probing, and scoring exactly
+    (same device as som_train's explicit w0)."""
+    if centroids is None:
+        sample = np.stack([
+            np.asarray(r[0], "float64")
+            for r in vectors.select(vec_col).limit(sample_size).collect()])
+        cents = kmeans_centroids(sample, n_centroids)
+    else:
+        cents = np.asarray(centroids, "float64")
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(cents)
 
@@ -285,7 +297,20 @@ def ivf_topk(vectors: DataFrame, queries: np.ndarray, q_ids: np.ndarray,
                                  F.col(vec_col).alias("v")), "id")
             .join(F.broadcast(qdf), "q_id"))
     cos_sim = _cos_sim_udf()
-    scored = cand.select("q_id", "id", cos_sim("v", "q_vec").alias("sim"))
+    return cand.select("q_id", "id", cos_sim("v", "q_vec").alias("sim"))
+
+
+def ivf_topk(vectors: DataFrame, queries: np.ndarray, q_ids: np.ndarray,
+             k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             sample_size: int = 2048, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN: route rows to nearest centroid, probe the ``n_probe``
+    centroids nearest to each query, exact re-rank inside the probed
+    lists (see ``ivf_candidates`` for the mining/scoring semantics)."""
+    scored = ivf_candidates(vectors, queries, q_ids, n_centroids,
+                            n_probe, sample_size, id_col, vec_col,
+                            centroids)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
