@@ -116,8 +116,11 @@ def pack_sequences(docs: DataFrame, ctx_len: int,
     """Pack the corpus into fixed-length training sequences.
 
     Returns (seq_id, tokens array<int> with size <= ctx_len — only the
-    final sequence may be short — n_tok, n_docs, first_doc, last_doc).
-    """
+    final sequence may be short — n_tok, n_docs, first_doc, last_doc,
+    boundaries). ``boundaries`` lists each contributing doc's start
+    offset within the sequence (boundaries[0] may be mid-doc carry-in
+    at offset 0) — the metadata a trainer needs to build block-causal
+    attention masks / reset position ids at document starts."""
     sl = doc_seq_slices(docs, ctx_len, n_buckets)
     parts = F.sort_array(F.collect_list(F.struct("pos_start", "doc_id", "chunk")))
     return (sl.groupBy("seq_id")
@@ -129,7 +132,8 @@ def pack_sequences(docs: DataFrame, ctx_len: int,
                 "seq_id",
                 F.flatten(F.col("parts.chunk")).alias("tokens"),
                 F.size(F.flatten(F.col("parts.chunk"))).cast("int").alias("n_tok"),
-                "n_docs", "first_doc", "last_doc"))
+                "n_docs", "first_doc", "last_doc",
+                F.col("parts.pos_start").alias("boundaries")))
 
 
 def pack_profile(docs: DataFrame, ctx_len: int,

@@ -119,3 +119,22 @@ def test_doc_seq_slices_row_count(spark):
     want = sum(len(docs) for _, docs in seqs.values())
     assert n_rows == want
     assert n_rows < len(flat)                    # strictly sub-token
+
+
+def test_pack_boundaries_metadata(spark):
+    """boundaries = each contributing doc's start offset in the
+    sequence, ascending, starting at the carry-in (offset 0 when a doc
+    spans in from the previous sequence)."""
+    df = _docs_df(spark, FIXTURE)
+    ctx = 8
+    flat, seqs = _numpy_pack([(d, t) for d, t in FIXTURE], ctx)
+    starts = {}
+    acc = 0
+    for d, t in sorted((d, t) for d, t in FIXTURE if t):
+        starts[d] = acc
+        acc += len(t)
+    for row in pack_sequences(df, ctx).collect():
+        s = row["seq_id"] * ctx
+        want = [max(starts[d] - s, 0) for d in seqs[row["seq_id"]][1]]
+        assert list(row["boundaries"]) == want, row["seq_id"]
+        assert row["boundaries"][0] == 0 or starts[row["first_doc"]] >= s
