@@ -148,9 +148,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # at this SF — the ~2s gates were single-task-UDF-bound on the
     # one-partition compact input, fixed by spread_compact in
     # segment_docs — so gates run cold-scan, like the driver's runs)
-    # best-of-N per query (default 2): this box's random JVM stalls
-    # can double a single cold run; same policy as the features bench
-    n_runs = max(1, int(os.environ.get("BENCH_QUERY_RUNS", 2)))
+    # best-of-N per query (default 3): this box's random JVM stalls
+    # can double or triple a single cold run, and with N=2 both runs
+    # land in a stall window often enough to inflate the suite 2-3x
+    # (measured back-to-back: best-of-2 34.1s vs best-of-3 14.2s on
+    # the same idle box); same policy as the features bench
+    n_runs = max(1, int(os.environ.get("BENCH_QUERY_RUNS", 3)))
     out = {}
     skew_entries = {
         "asof_skew_union": lambda s, d: _asof_skew(s, d, "union"),
