@@ -455,9 +455,21 @@ def _q_contamination(spark, sf_dir):
 
 
 def _q_sample_stratified(spark, sf_dir):
-    """Deterministic per-source quota sample (md5 shuffle order)."""
-    from apollon_spark.ml.curation import sample_stratified
-    return sample_stratified(_docs(spark, sf_dir), quota=40)
+    """Two deterministic sampling modes in one gate: per-source quota
+    (md5 shuffle order, mode='quota', k=rank) and source-mixture
+    resampling with fractional upsampling weights (data-mixing
+    ratios; mode='mix', k=copy index — src0 x2.0, src1 x1.5,
+    src2 x0.25, src3 x0.5, all other sources dropped)."""
+    from apollon_spark.ml.curation import mixture_sample, sample_stratified
+    docs = _docs(spark, sf_dir)
+    quota = sample_stratified(docs, quota=40).select(
+        F.lit("quota").alias("mode"), "source", "doc_id",
+        F.col("rk").cast("int").alias("k"))
+    mix = mixture_sample(
+        docs, {"src0": 2.0, "src1": 1.5, "src2": 0.25, "src3": 0.5}).select(
+        F.lit("mix").alias("mode"), "source", "doc_id",
+        F.col("copy").cast("int").alias("k"))
+    return quota.unionByName(mix)
 
 
 def _q_vocab_topk(spark, sf_dir):
@@ -1766,12 +1778,27 @@ LEFT JOIN hits USING (doc_id)
 """,
         "sample_stratified": f"""
 {_W}
-SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+SELECT 'quota' AS mode, source, doc_id, CAST(rk AS INT) AS k FROM (
   SELECT source, doc_id,
          row_number() OVER (PARTITION BY source
                             ORDER BY md5(doc_id), doc_id) AS rk
   FROM docs
 ) WHERE rk <= 40
+UNION ALL
+SELECT 'mix' AS mode, source, doc_id,
+       CAST(unnest(range(1, n_copies + 1)) AS INT) AS k
+FROM (
+  SELECT source, doc_id,
+         (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+               ELSE 0 END)
+         + (CASE WHEN substr(md5(doc_id), 1, 4) <
+                 (CASE source WHEN 'src1' THEN '8000'
+                       WHEN 'src2' THEN '4000'
+                       WHEN 'src3' THEN '8000'
+                       ELSE '0000' END)
+            THEN 1 ELSE 0 END) AS n_copies
+  FROM docs
+) WHERE n_copies > 0
 """,
         "vocab_topk": f"""
 {_WF}

@@ -80,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
                          "(rate = int(hex,16)/65536)")
     ap.add_argument("--stratify-by", default="source",
                     help="sample: stratum column for --quota mode")
+    ap.add_argument("--mix-weights", default=None,
+                    help="sample: source-mixture resampling weights, "
+                         "e.g. 'web:2.0,books:0.5' (docs repeat "
+                         "floor(w) times + a deterministic frac(w) "
+                         "share once more; unlisted sources drop)")
     ap.add_argument("--benchmark", default=None,
                     help="contaminate: path of the benchmark docs "
                          "table (default: md5-prefix split of --input)")
@@ -215,8 +220,14 @@ def main(argv: list[str] | None = None) -> int:
                           "n_tokens": stats["n_tokens"],
                           "ctx_len": args.ctx_len}))
     elif args.stage == "sample":
-        from .ml.curation import sample_rate, sample_stratified
-        if args.quota > 0:
+        from .ml.curation import (mixture_sample, sample_rate,
+                                  sample_stratified)
+        if args.mix_weights:
+            weights = {k: float(v) for k, v in
+                       (kv.split(":") for kv in args.mix_weights.split(","))}
+            copies = mixture_sample(docs, weights, by=args.stratify_by)
+            out = copies.join(docs.drop(args.stratify_by), "doc_id")
+        elif args.quota > 0:
             keep = sample_stratified(docs, args.quota, by=args.stratify_by)
             out = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
         else:

@@ -105,6 +105,33 @@ def sample_rate(docs: DataFrame, rate_hex: str = "4000") -> DataFrame:
     return docs.where(F.substring(F.md5("doc_id"), 1, 4) < rate_hex)
 
 
+def mixture_sample(docs: DataFrame, weights: dict[str, float],
+                   by: str = "source") -> DataFrame:
+    """Deterministic source-mixture resampling (training data-mixing
+    ratios): every doc of stratum s appears floor(w_s) times, plus one
+    extra copy for the deterministic frac(w_s) share of docs whose
+    md5(doc_id) 4-hex prefix sorts below hex(frac(w_s) * 65536) — the
+    same engine-reproducible coin as ``sample_rate``. Strata missing
+    from ``weights`` get weight 0 (dropped).
+
+    Returns (source, doc_id, copy) with copy in 1..n_copies. Scale:
+    pure per-row arithmetic + an explode bounded by ceil(w) — no
+    shuffle, no window; pushes the weight-0 drop to the scan."""
+    floor_col, thr_col = F.lit(0), F.lit("0000")
+    for src, w in sorted(weights.items()):
+        fw = int(w)
+        frac_hex = format(min(int((w - fw) * 65536), 65535), "04x")
+        floor_col = F.when(F.col(by) == src, F.lit(fw)).otherwise(floor_col)
+        thr_col = F.when(F.col(by) == src, F.lit(frac_hex)).otherwise(thr_col)
+    bonus = (F.substring(F.md5("doc_id"), 1, 4) < thr_col).cast("int")
+    n_copies = floor_col + bonus
+    return (docs.select(by, "doc_id")
+            .withColumn("_n", n_copies)
+            .where(F.col("_n") > 0)
+            .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+            .select(by, "doc_id", "copy"))
+
+
 def vocab_stats(docs: DataFrame, top_k: int = 32) -> DataFrame:
     """Corpus token-frequency table: occurrences and document
     frequency per token, ranked by (n_occur desc, token asc), top_k

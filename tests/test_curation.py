@@ -125,3 +125,25 @@ def test_repetition_flags_degenerate_doc(spark):
     assert out["ok"]["dup3_frac"] == 0.0
     assert out["rep"]["top2_frac"] > 0.4
     assert out["rep"]["distinct_frac"] == 2 / 40
+
+
+def test_mixture_sample_oracle(spark, corpus):
+    from apollon_spark.ml.curation import mixture_sample
+    df, rows = corpus
+    weights = {"web": 1.5, "book": 0.25, "code": 2.0}
+    out = mixture_sample(df, weights).collect()
+    got = Counter((r["source"], r["doc_id"]) for r in out)
+    for r in out:
+        assert 1 <= r["copy"] <= got[(r["source"], r["doc_id"])]
+    for d, _, _, s in rows:
+        w = weights[s]
+        fw = int(w)
+        thr = format(min(int((w - fw) * 65536), 65535), "04x")
+        bonus = 1 if hashlib.md5(d.encode()).hexdigest()[:4] < thr else 0
+        want = fw + bonus
+        assert got.get((s, d), 0) == want, (d, s, w)
+    # realized ratios track the weights on a uniform hash
+    n_src = Counter(s for *_, s in rows)
+    for s, w in weights.items():
+        realized = sum(v for (src, _), v in got.items() if src == s) / n_src[s]
+        assert abs(realized - w) < 0.35, (s, realized, w)
