@@ -71,7 +71,16 @@ def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
             pdf = pdf.assign(_pid=pid, _loc_off=loc.astype("int64"))
             yield pdf
 
-    local = meta.mapInPandas(cumsum, schema=out_schema)
+    # materialize ONCE before the two consumers: repartitionByRange
+    # re-samples its boundaries on every execution (the sample seed
+    # varies per job), so without pinning, a row's _pid in the offsets
+    # join could disagree with the base offsets collected from the
+    # totals job — silently corrupting offsets corpus-wide as soon as
+    # partitions are big enough for partial range sampling (>~100
+    # rows/partition). localCheckpoint trades executor-loss
+    # recomputability for plan truncation, same call as dedup.py.
+    local = meta.mapInPandas(cumsum, schema=out_schema) \
+        .localCheckpoint(eager=True)
     totals = {
         int(r["_pid"]): int(r["tot"])
         for r in local.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()

@@ -138,3 +138,22 @@ def test_pack_boundaries_metadata(spark):
         want = [max(starts[d] - s, 0) for d in seqs[row["seq_id"]][1]]
         assert list(row["boundaries"]) == want, row["seq_id"]
         assert row["boundaries"][0] == 0 or starts[row["first_doc"]] >= s
+
+
+def test_pack_offsets_partial_range_sampling(spark):
+    """Regression: with >~100 rows per range partition the boundary
+    sampler goes partial and re-samples per execution — offsets must
+    still be exact (the cumsum frame is pinned before its two
+    consumers read it)."""
+    from apollon_spark.operators.packing import _offsets
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "printf('doc_%07d', id) AS doc_id",
+        "array(cast(id % 251 as int)) AS tokens",
+        "cast(1 as int) AS n_tok")
+    got = {r["doc_id"]: r["off"]
+           for r in _offsets(df, n_buckets=16).select("doc_id", "off").collect()}
+    assert len(got) == n
+    for i in (0, 1, 9_999, 19_998, n - 1):
+        assert got[f"doc_{i:07d}"] == i
+    assert sorted(got.values()) == list(range(n))
