@@ -1746,7 +1746,7 @@ FROM tok GROUP BY g // 512
 {_W},
 lab AS (
   SELECT doc_id, tokens, n_tok,
-         substr(md5(doc_id), 1, 1) = '0' AS is_bench
+         substr(md5(doc_id || ':bench'), 1, 1) = '0' AS is_bench
   FROM docs
 ),
 bg AS (
@@ -1781,7 +1781,7 @@ LEFT JOIN hits USING (doc_id)
 SELECT 'quota' AS mode, source, doc_id, CAST(rk AS INT) AS k FROM (
   SELECT source, doc_id,
          row_number() OVER (PARTITION BY source
-                            ORDER BY md5(doc_id), doc_id) AS rk
+                            ORDER BY md5(doc_id || ':strat'), doc_id) AS rk
   FROM docs
 ) WHERE rk <= 40
 UNION ALL
@@ -1791,7 +1791,7 @@ FROM (
   SELECT source, doc_id,
          (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
                ELSE 0 END)
-         + (CASE WHEN substr(md5(doc_id), 1, 4) <
+         + (CASE WHEN substr(md5(doc_id || ':mix'), 1, 4) <
                  (CASE source WHEN 'src1' THEN '8000'
                        WHEN 'src2' THEN '4000'
                        WHEN 'src3' THEN '8000'

@@ -236,6 +236,8 @@ def main(argv: list[str] | None = None) -> int:
         written = storage.read_table(spark, args.output).count()
         print(json.dumps({"rows_in": docs.count(), "rows_out": written}))
     elif args.stage == "contaminate":
+        from pyspark.sql import functions as F
+
         from .ml.curation import benchmark_split, contamination_check
         if args.benchmark:
             bench = storage.read_table(spark, args.benchmark)
@@ -244,9 +246,10 @@ def main(argv: list[str] | None = None) -> int:
             train, bench = benchmark_split(docs)
         out = contamination_check(train, bench, k=args.shingle_k)
         storage.write_table(out, args.output)
-        n_hit = (storage.read_table(spark, args.output)
-                 .where("hit_frac > 0").count())
-        print(json.dumps({"docs_scored": out.count(),
+        written = storage.read_table(spark, args.output)
+        n_scored, n_hit = written.select(
+            F.count("*"), F.count(F.when(F.col("hit_frac") > 0, 1))).first()
+        print(json.dumps({"docs_scored": n_scored,
                           "docs_contaminated": n_hit}))
     elif args.stage == "export":
         if args.export_format == "csv":

@@ -14,8 +14,40 @@ packing for xxhash64(concat_ws(...)); the join shapes are unchanged.
 """
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Per-operator hash salts. Every sampling/split operator draws its
+# deterministic "coin" from md5(doc_id || ':' || salt) rather than the
+# bare md5(doc_id): with a shared unsalted coin, composed stages are
+# fully correlated (e.g. sample_rate('1000') keeps exactly the docs
+# benchmark_split('0') would label benchmark — train would come out
+# empty). Distinct salts make the coins independent. The DuckDB oracle
+# uses the same `md5(doc_id || ':<salt>')` expression (md5 hex is
+# identical cross-engine).
+BENCH_SALT = "bench"
+STRAT_SALT = "strat"
+RATE_SALT = "rate"
+MIX_SALT = "mix"
+
+
+def _coin(salt: str):
+    """Salted engine-reproducible uniform coin: md5 hex of
+    ``doc_id || ':' || salt``."""
+    return F.md5(F.concat(F.col("doc_id"), F.lit(":" + salt)))
+
+
+def _norm_hex(rate_hex: str) -> str:
+    """Normalize and validate a 4-hex-digit threshold. md5 hex is
+    lowercase; an uppercase threshold would string-compare against
+    'a'-'f' digits wrongly (silently skewing the rate), so reject
+    anything but exactly four hex digits and lowercase it."""
+    h = rate_hex.lower()
+    if not re.fullmatch(r"[0-9a-f]{4}", h):
+        raise ValueError(f"rate_hex must be 4 hex digits, got {rate_hex!r}")
+    return h
 
 
 def _shingles(k: int) -> str:
@@ -71,10 +103,11 @@ def contamination_check(docs: DataFrame, bench: DataFrame,
 
 
 def benchmark_split(docs: DataFrame, hex_prefix: str = "0") -> tuple[DataFrame, DataFrame]:
-    """Deterministic (train, benchmark) split by md5(doc_id) prefix —
+    """Deterministic (train, benchmark) split by salted-md5 prefix —
     md5 hex is identical in Spark and DuckDB, so the split is
     reproducible in the SQL oracle. prefix '0' ~ 1/16 of docs."""
-    is_bench = F.substring(F.md5("doc_id"), 1, len(hex_prefix)) == hex_prefix
+    is_bench = (F.substring(_coin(BENCH_SALT), 1, len(hex_prefix))
+                == hex_prefix.lower())
     return docs.where(~is_bench), docs.where(is_bench)
 
 
@@ -91,18 +124,19 @@ def sample_stratified(docs: DataFrame, quota: int,
     pushdown (Spark's WindowGroupLimit takes care of discarding
     beyond-quota rows before the sort spills); a hot stratum is
     bounded by quota on the output side."""
-    w = Window.partitionBy(by).orderBy(F.md5("doc_id"), F.col("doc_id"))
+    w = Window.partitionBy(by).orderBy(_coin(STRAT_SALT), F.col("doc_id"))
     return (docs.select(by, "doc_id")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= quota))
 
 
 def sample_rate(docs: DataFrame, rate_hex: str = "4000") -> DataFrame:
-    """Deterministic Bernoulli-style sample: keep docs whose
-    md5(doc_id) 4-hex prefix sorts below ``rate_hex``
-    (rate = int(rate_hex,16)/65536). Pure filter — pushes to the
-    scan, no shuffle at any scale."""
-    return docs.where(F.substring(F.md5("doc_id"), 1, 4) < rate_hex)
+    """Deterministic Bernoulli-style sample: keep docs whose salted
+    md5 4-hex prefix sorts below ``rate_hex``
+    (rate = int(rate_hex,16)/65536; case-normalized + validated).
+    Pure filter — pushes to the scan, no shuffle at any scale."""
+    return docs.where(
+        F.substring(_coin(RATE_SALT), 1, 4) < _norm_hex(rate_hex))
 
 
 def mixture_sample(docs: DataFrame, weights: dict[str, float],
@@ -110,9 +144,9 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
     """Deterministic source-mixture resampling (training data-mixing
     ratios): every doc of stratum s appears floor(w_s) times, plus one
     extra copy for the deterministic frac(w_s) share of docs whose
-    md5(doc_id) 4-hex prefix sorts below hex(frac(w_s) * 65536) — the
-    same engine-reproducible coin as ``sample_rate``. Strata missing
-    from ``weights`` get weight 0 (dropped).
+    salted md5 4-hex prefix sorts below hex(frac(w_s) * 65536) — an
+    engine-reproducible coin independent of ``sample_rate``'s (own
+    salt). Strata missing from ``weights`` get weight 0 (dropped).
 
     Returns (source, doc_id, copy) with copy in 1..n_copies. Scale:
     pure per-row arithmetic + an explode bounded by ceil(w) — no
@@ -123,7 +157,7 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
         frac_hex = format(min(int((w - fw) * 65536), 65535), "04x")
         floor_col = F.when(F.col(by) == src, F.lit(fw)).otherwise(floor_col)
         thr_col = F.when(F.col(by) == src, F.lit(frac_hex)).otherwise(thr_col)
-    bonus = (F.substring(F.md5("doc_id"), 1, 4) < thr_col).cast("int")
+    bonus = (F.substring(_coin(MIX_SALT), 1, 4) < thr_col).cast("int")
     n_copies = floor_col + bonus
     return (docs.select(by, "doc_id")
             .withColumn("_n", n_copies)

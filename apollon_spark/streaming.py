@@ -294,13 +294,22 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
                     F.when(swap, F.col("a.signature"))
                     .otherwise(F.col("b.signature")).alias("sig_a"),
                     F.when(swap, F.col("b.signature"))
-                    .otherwise(F.col("a.signature")).alias("sig_b"))
-                .dropDuplicates(["id_a", "id_b"]))
+                    .otherwise(F.col("a.signature")).alias("sig_b")))
             est = signature_est_jaccard_udf()
+            # Score EVERY candidate row, then keep the max estimate per
+            # pair. A dropDuplicates before scoring would keep an
+            # arbitrary signature version when the store holds several
+            # versions of a re-delivered doc (both stay by design), so
+            # whether a true near-dup pair was emitted could flip
+            # between runs. max() over all versions is deterministic
+            # regardless of partition order and matches "near-dup under
+            # ANY stored version" semantics.
             scored = (pairs
                       .select("id_a", "id_b",
                               F.round(est("sig_a", "sig_b"), 6)
-                              .alias("est_jaccard"))
+                              .alias("est"))
+                      .groupBy("id_a", "id_b")
+                      .agg(F.max("est").alias("est_jaccard"))
                       .where(F.col("est_jaccard") >= threshold))
             # epoch-partitioned dynamic overwrite: replaying this batch
             # after a crash replaces its own partitions (idempotent)

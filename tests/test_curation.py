@@ -6,10 +6,15 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from apollon_spark.ml.curation import (benchmark_split, contamination_check,
-                                       doc_ngrams, repetition_metrics,
-                                       sample_rate, sample_stratified,
-                                       vocab_stats)
+from apollon_spark.ml.curation import (BENCH_SALT, MIX_SALT, RATE_SALT,
+                                       STRAT_SALT, benchmark_split,
+                                       contamination_check, doc_ngrams,
+                                       repetition_metrics, sample_rate,
+                                       sample_stratified, vocab_stats)
+
+
+def _coin(doc_id: str, salt: str) -> str:
+    return hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()
 
 
 @pytest.fixture(scope="module")
@@ -46,8 +51,7 @@ def test_doc_ngrams_exact(spark, corpus):
 
 def test_contamination_oracle(spark, corpus):
     df, rows = corpus
-    bench_ids = {d for d, *_ in rows
-                 if hashlib.md5(d.encode()).hexdigest()[0] == "0"}
+    bench_ids = {d for d, *_ in rows if _coin(d, BENCH_SALT)[0] == "0"}
     assert bench_ids, "fixture must produce a non-empty benchmark"
     train, bench = benchmark_split(df)
     assert {r["doc_id"] for r in bench.select("doc_id").collect()} == bench_ids
@@ -74,7 +78,7 @@ def test_sample_stratified_deterministic(spark, corpus):
     per_src = Counter(r["source"] for r in out)
     assert all(v == 5 for v in per_src.values())
     for src in {s for *_, s in rows}:
-        ids = sorted((hashlib.md5(d.encode()).hexdigest(), d)
+        ids = sorted((_coin(d, STRAT_SALT), d)
                      for d, *_, s in rows if s == src)[:5]
         want = [d for _, d in ids]
         got = sorted((r["rk"], r["doc_id"]) for r in out if r["source"] == src)
@@ -84,9 +88,37 @@ def test_sample_stratified_deterministic(spark, corpus):
 def test_sample_rate_threshold(spark, corpus):
     df, rows = corpus
     got = {r["doc_id"] for r in sample_rate(df, "4000").select("doc_id").collect()}
-    want = {d for d, *_ in rows
-            if hashlib.md5(d.encode()).hexdigest()[:4] < "4000"}
+    want = {d for d, *_ in rows if _coin(d, RATE_SALT)[:4] < "4000"}
     assert got == want
+
+
+def test_sample_rate_hex_normalized(spark, corpus):
+    """Uppercase thresholds must behave identically to lowercase
+    (md5 hex is lowercase; raw string-compare would silently skew the
+    rate), and malformed thresholds must error loudly."""
+    df, _ = corpus
+    lo = {r["doc_id"] for r in sample_rate(df, "c000").select("doc_id").collect()}
+    hi = {r["doc_id"] for r in sample_rate(df, "C000").select("doc_id").collect()}
+    assert lo == hi and lo
+    for bad in ("C00", "c0000", "zzzz", ""):
+        with pytest.raises(ValueError):
+            sample_rate(df, bad)
+
+
+def test_sampling_coins_independent(spark, corpus):
+    """Composed stages draw independent coins: sample_rate('1000')
+    (keep md5-prefix < '1000', i.e. prefix '0') must NOT coincide
+    with benchmark_split's prefix-'0' benchmark set — with a shared
+    unsalted hash, every surviving doc of the composed pipeline would
+    land in the benchmark and train would be empty."""
+    df, rows = corpus
+    kept = sample_rate(df, "1000")
+    train, bench = benchmark_split(kept)
+    n_kept, n_bench = kept.count(), bench.count()
+    assert n_kept > 0
+    assert train.count() > 0, "train empty => coins fully correlated"
+    # the benchmark share of the sampled docs stays near 1/16
+    assert n_bench < n_kept / 2
 
 
 def test_vocab_stats_oracle(spark, corpus):
@@ -139,7 +171,7 @@ def test_mixture_sample_oracle(spark, corpus):
         w = weights[s]
         fw = int(w)
         thr = format(min(int((w - fw) * 65536), 65535), "04x")
-        bonus = 1 if hashlib.md5(d.encode()).hexdigest()[:4] < thr else 0
+        bonus = 1 if _coin(d, MIX_SALT)[:4] < thr else 0
         want = fw + bonus
         assert got.get((s, d), 0) == want, (d, s, w)
     # realized ratios track the weights on a uniform hash
