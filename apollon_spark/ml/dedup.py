@@ -512,3 +512,100 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
     return (cand.select("id_a", "id_b",
                         F.round(cos_sim("va", "vb"), 6).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components + canonical pick)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list
+    (``id_a``, ``id_b``): returns (node, cluster_id) where cluster_id
+    is the lexicographically smallest node id reachable from ``node``.
+    Only nodes that appear in a pair are returned.
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes the min of its own label, its
+    neighbors' labels, and its label's label (path halving). Plain
+    propagation needs O(diameter) rounds; the pointer-jump join cuts
+    that to O(log d). Near-dup components are band-collision cliques,
+    so observed convergence is 2-3 rounds. For adversarial long-chain
+    graphs at 10^12 edges the published alternative is the
+    large-star/small-star MapReduce algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same equi-join
+    primitive, provably O(log^2 n) rounds; the propagation loop below
+    keeps the simpler shape because dedup graphs are shallow.
+
+    Every round materializes via eager localCheckpoint: truncates the
+    iterative lineage (else the plan doubles per round) and gives the
+    convergence-check count and next round one shared execution.
+    Deterministic: min() over node ids, no sampling, no rng.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+               .groupBy("src").agg(F.min("label").alias("nbr_label"))
+               .withColumnRenamed("src", "node"))
+        stepped = (labels.join(nbr, "node", "left")
+                   .select("node",
+                           F.least("label", F.coalesce("nbr_label",
+                                                       "label"))
+                           .alias("label"), F.col("label").alias("_old")))
+        # pointer jump: label <- label(label)
+        jump = (labels.select(F.col("node").alias("label"),
+                              F.col("label").alias("jmp_label")))
+        nxt = (stepped.join(jump, "label", "left")
+               .select("node",
+                       F.least("label", F.coalesce("jmp_label", "label"))
+                       .alias("label"), "_old")
+               .localCheckpoint(eager=True))
+        changed = nxt.where(F.col("label") != F.col("_old")).count()
+        labels = nxt.drop("_old")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def resolve_dup_clusters(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         size_col: str = "n_tok",
+                         max_iter: int = 25) -> DataFrame:
+    """Full dedup verdict per doc: group near-dup ``pairs`` into
+    clusters (connected components) and pick one canonical doc per
+    cluster — the standard resolution step after any pair miner
+    (exact, MinHash-LSH, SimHash, embedding-cosine).
+
+    Returns (id_col, cluster_id, cluster_size, keep) covering EVERY
+    doc: docs in no pair form singleton clusters with keep=1. The
+    canonical doc is the one with the largest ``size_col`` (ties:
+    smallest id) — "keep the longest version" curation semantics.
+
+    Scale: components run over the pair list only (candidate-scale,
+    not corpus-scale); the verdict join back to docs is one shuffle on
+    the id; the per-cluster window sorts candidate-scale groups
+    (singletons hit WindowGroupLimit-style tiny partitions).
+    """
+    comp = connected_components(
+        pairs.select(F.col("id_a").cast("string").alias("id_a"),
+                     F.col("id_b").cast("string").alias("id_b")),
+        max_iter=max_iter)
+    base = (docs.select(F.col(id_col), F.col(size_col))
+            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+            .select(id_col, size_col,
+                    F.coalesce("cluster_id", F.col(id_col))
+                    .alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    rank = Window.partitionBy("cluster_id").orderBy(
+        F.col(size_col).desc(), F.col(id_col).asc())
+    return base.select(
+        id_col, "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.row_number().over(rank) == 1).cast("int").alias("keep"))

@@ -37,20 +37,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
-    """(doc_id, tokens, n_tok, off) with off = sum of n_tok over all
-    docs with a strictly smaller doc_id.
-
-    The cumsum runs on a tokens-FREE (doc_id, n_tok) meta frame —
-    ~16 B/doc — so the heavy token payload never rides the range
-    shuffle and never crosses the Arrow boundary for bookkeeping:
-    one tiny range shuffle + per-partition Arrow cumsum (no window
-    shuffle) + a B-row driver-side prefix sum broadcast back, then
-    one equi-join attaches offsets to the token arrays (co-located
-    for free when docs use the ingest stage's doc_id-bucketed
-    layout). The meta pass executes twice (totals, then offsets) —
-    acceptable because it carries no tokens."""
-    n_buckets = n_buckets or max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+def _meta_cumsum(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Un-materialized per-partition cumsum frame
+    (doc_id, n_tok, _pid, _loc_off) over the tokens-free meta
+    projection, range-partitioned by doc_id. Exposed separately so the
+    plan test can pin the range shuffle's properties (the public path
+    checkpoints this frame, which truncates its visible plan)."""
+    n_buckets = n_buckets or max(
+        docs.sparkSession.sparkContext.defaultParallelism, 1)
     meta = (docs.select("doc_id", "n_tok")
             .repartitionByRange(n_buckets, "doc_id")
             .sortWithinPartitions("doc_id"))
@@ -71,6 +65,22 @@ def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
             pdf = pdf.assign(_pid=pid, _loc_off=loc.astype("int64"))
             yield pdf
 
+    return meta.mapInPandas(cumsum, schema=out_schema)
+
+
+def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """(doc_id, tokens, n_tok, off) with off = sum of n_tok over all
+    docs with a strictly smaller doc_id.
+
+    The cumsum runs on a tokens-FREE (doc_id, n_tok) meta frame —
+    ~16 B/doc — so the heavy token payload never rides the range
+    shuffle and never crosses the Arrow boundary for bookkeeping:
+    one tiny range shuffle + per-partition Arrow cumsum (no window
+    shuffle) + a B-row driver-side prefix sum broadcast back, then
+    one equi-join attaches offsets to the token arrays (co-located
+    for free when docs use the ingest stage's doc_id-bucketed
+    layout). The meta pass executes twice (totals, then offsets) —
+    acceptable because it carries no tokens."""
     # materialize ONCE before the two consumers: repartitionByRange
     # re-samples its boundaries on every execution (the sample seed
     # varies per job), so without pinning, a row's _pid in the offsets
@@ -79,8 +89,7 @@ def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     # partitions are big enough for partial range sampling (>~100
     # rows/partition). localCheckpoint trades executor-loss
     # recomputability for plan truncation, same call as dedup.py.
-    local = meta.mapInPandas(cumsum, schema=out_schema) \
-        .localCheckpoint(eager=True)
+    local = _meta_cumsum(docs, n_buckets).localCheckpoint(eager=True)
     totals = {
         int(r["_pid"]): int(r["tot"])
         for r in local.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()

@@ -100,27 +100,37 @@ def test_bucketed_join_is_colocated(spark, tmp_path):
 
 def test_pack_sequences_bounded_exchanges(spark):
     """Packing must show exactly the SCALE.md shuffle budget: one
-    range exchange (doc_id order), one hash exchange (seq_id
+    range exchange (doc_id order, asserted on the pre-checkpoint
+    cumsum frame — the public path pins it via localCheckpoint, which
+    truncates the visible downstream plan), one hash exchange (seq_id
     assembly), one broadcast (partition base offsets) — and NO
     single-partition global-sort window."""
-    from apollon_spark.operators.packing import pack_sequences
+    import re
+
+    from apollon_spark.operators.packing import _meta_cumsum, pack_sequences
     docs = synth_docs(spark, 32, whales=False)
+
+    # the range shuffle lives in the (checkpointed) cumsum frame: it
+    # must be tokens-free — offsets bookkeeping rides only
+    # (doc_id, n_tok), ~16 B/doc
+    meta_plan = _plan(_meta_cumsum(docs, n_buckets=4))
+    assert "rangepartitioning" in meta_plan.lower()     # doc_id ranges
+    range_subtree = meta_plan[meta_plan.index("rangepartitioning"):]
+    feed = re.search(r"Project \[([^\]]*)\]", range_subtree).group(1)
+    assert "tokens" not in feed and "doc_id" in feed and "n_tok" in feed
+    assert not re.search(r"Sort \[[^\]]*\], true", meta_plan)
+
     out = pack_sequences(docs, 256, n_buckets=4)
     plan = _plan(out)
     assert "BroadcastExchange" in plan                  # base offsets
-    assert "rangepartitioning" in plan.lower()          # doc_id ranges
-    # the range shuffle must be tokens-free: offsets are computed on
-    # the (doc_id, n_tok) meta frame only
-    import re
-    range_subtree = plan[plan.index("rangepartitioning"):]
-    feed = re.search(r"Project \[([^\]]*)\]", range_subtree).group(1)
-    assert "tokens" not in feed and "doc_id" in feed and "n_tok" in feed
+    # the pinned offsets frame surfaces as an in-memory scan — the
+    # checkpoint that keeps both consumers on one materialization
+    assert "ExistingRDD" in plan
     # no GLOBAL sort anywhere (a bare Window.orderBy cumsum would show
     # Sort [...], true — the single-task funnel the two-phase form avoids)
     assert not re.search(r"Sort \[[^\]]*\], true", plan)
-    # shuffle budget: seq_id hash + doc_id range (+ joins/broadcasts +
-    # datagen's own RoundRobin spread); the token payload itself rides
-    # only the seq_id exchange at this scale
+    # shuffle budget: seq_id hash (+ joins/broadcasts); the token
+    # payload itself rides only the seq_id exchange at this scale
     assert plan.count("Exchange") <= 7
 
 
