@@ -142,8 +142,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "ann_lsh", "ivf_ann", "lsh_pairs", "battery_time",
              "bmu_fixed", "hmm", "ann_rerank",
              "pack_sequences", "contamination", "sample_stratified",
-             "vocab_topk"]
+             "vocab_topk", "dup_clusters"]
     qs = entrymod.queries()
+    # the registry consolidated the two asof strategies into one
+    # strategy-tagged gate; the bench keeps timing them separately so
+    # the r01 per-query comparison stays name-for-name
+    qs = {**qs, "asof_union": entrymod._q_asof_union,
+          "asof_bucketed": entrymod._q_asof_bucketed}
     # (measured r03: warm-caching the shared input scans does NOT help
     # at this SF — the ~2s gates were single-task-UDF-bound on the
     # one-partition compact input, fixed by spread_compact in
@@ -192,7 +197,7 @@ def main() -> None:
                  "bmu_fixed", "hmm"}
     R03_ADDED = {"ann_rerank", "asof_skew_union", "asof_skew_bucketed",
                  "pack_sequences", "contamination", "sample_stratified",
-                 "vocab_topk"}
+                 "vocab_topk", "dup_clusters"}
     # Gates that absorbed NEW work in r03 (docs_profile += repetition
     # metrics; locf += edge-clip/limit columns; lag_delta += delay-
     # embed columns) are NOT apples-to-apples with their r01/r02

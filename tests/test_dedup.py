@@ -278,3 +278,50 @@ def test_simhash_near_dups_recall_is_exact(spark, sf_dir):
                 want.add(tuple(sorted((ids[i], ids[j]))))
     assert want, "fixture must contain true near-dup fingerprints"
     assert got_pairs == want          # recall 1.0 AND no false pairs
+
+
+def test_connected_components_exact(spark):
+    """Min-label propagation == exact components on a graph with a
+    chain (forces >1 propagation round), a triangle, an isolated
+    pair, and a star."""
+    from apollon_spark.ml.dedup import connected_components
+    pairs = [
+        # chain a-b-c-d-e (diameter 4)
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        # triangle
+        ("p", "q"), ("q", "r"), ("p", "r"),
+        # isolated pair
+        ("x", "y"),
+        # star centered on m
+        ("m", "n1"), ("m", "n2"), ("m", "n3"),
+    ]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    want = {}
+    want.update({n: "a" for n in "abcde"})
+    want.update({n: "p" for n in "pqr"})
+    want.update({n: "x" for n in "xy"})
+    want.update({n: "m" for n in ("m", "n1", "n2", "n3")})
+    assert got == want
+
+
+def test_resolve_dup_clusters_canonical(spark):
+    """Every doc gets a verdict; canonical = largest n_tok then
+    smallest id; singletons keep themselves."""
+    from apollon_spark.ml.dedup import resolve_dup_clusters
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 30), ("c", 30), ("d", 5), ("solo", 7)],
+        "doc_id string, n_tok int")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "id_a string, id_b string")
+    out = {r["doc_id"]: r for r in resolve_dup_clusters(docs, pairs).collect()}
+    assert len(out) == 5
+    for d in "abcd":
+        assert out[d]["cluster_id"] == "a"
+        assert out[d]["cluster_size"] == 4
+    # b and c tie on n_tok=30; smaller doc_id b wins
+    assert [d for d in "abcd" if out[d]["keep"] == 1] == ["b"]
+    assert out["solo"]["cluster_id"] == "solo"
+    assert out["solo"]["cluster_size"] == 1
+    assert out["solo"]["keep"] == 1
