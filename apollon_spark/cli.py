@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
                              "position", "export", "nonlinear",
                              "dedup", "neardup", "ann", "textstats",
                              "ingest", "stream-neardup",
-                             "pack", "sample", "contaminate"])
+                             "pack", "sample", "contaminate", "cluster"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-perseg", type=int, default=512)
@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--benchmark", default=None,
                     help="contaminate: path of the benchmark docs "
                          "table (default: md5-prefix split of --input)")
+    ap.add_argument("--pairs", default=None,
+                    help="cluster: path of a pre-mined (id_a, id_b) "
+                         "pair table (default: mine MinHash-LSH pairs "
+                         "from --input)")
     ap.add_argument("--input-format", choices=["table", "wav"],
                     default="table",
                     help="'table' = parquet/Iceberg docs table; 'wav' = "
@@ -155,6 +159,27 @@ def main(argv: list[str] | None = None) -> int:
         storage.write_table(pairs, args.output)
         written = storage.read_table(spark, args.output).count()
         print(json.dumps({"pairs": written}))
+    elif args.stage == "cluster":
+        # duplicate-cluster resolution: near-dup pairs (pre-mined via
+        # --pairs, else MinHash-LSH over --input) -> connected
+        # components -> one canonical doc kept per cluster
+        from pyspark.sql import functions as F
+
+        from .ml.dedup import (lsh_candidate_pairs, minhash_docs,
+                               resolve_dup_clusters)
+        if args.pairs:
+            pairs = storage.read_table(spark, args.pairs) \
+                .select("id_a", "id_b")
+        else:
+            eligible = docs.where(F.size("tokens") >= args.shingle_k)
+            sigs = minhash_docs(eligible, args.n_hashes, args.shingle_k)
+            pairs = lsh_candidate_pairs(sigs, n_bands=args.n_bands)
+        out = resolve_dup_clusters(docs, pairs, id_col=id_col)
+        storage.write_table(out, args.output)
+        written = storage.read_table(spark, args.output)
+        n_docs, n_keep = written.select(
+            F.count("*"), F.sum("keep")).first()
+        print(json.dumps({"docs": n_docs, "kept": int(n_keep)}))
     elif args.stage == "ann":
         # LSH top-k: input = vector table (--id-col, --vec-col; defaults
         # vec_id/embedding); queries = the first --n-queries vectors
