@@ -113,3 +113,19 @@ def test_packing_curation_empty(spark, empty_docs):
     assert sample_stratified(empty_docs, 5).count() == 0
     assert vocab_stats(empty_docs).count() == 0
     assert repetition_metrics(empty_docs).count() == 0
+
+
+def test_dup_clusters_empty_pairs(spark, empty_docs):
+    """No pairs: every doc (including none) is a singleton keeper;
+    empty docs + empty pairs yields an empty verdict."""
+    from apollon_spark.ml.dedup import (connected_components,
+                                        resolve_dup_clusters)
+    empty_pairs = spark.createDataFrame([], "id_a string, id_b string")
+    assert connected_components(empty_pairs).count() == 0
+    assert resolve_dup_clusters(empty_docs, empty_pairs).count() == 0
+    docs = spark.createDataFrame([("a", 3), ("b", 5)],
+                                 "doc_id string, n_tok int")
+    out = {r["doc_id"]: r for r in
+           resolve_dup_clusters(docs, empty_pairs).collect()}
+    assert all(out[d]["keep"] == 1 and out[d]["cluster_size"] == 1
+               for d in "ab")
