@@ -136,7 +136,15 @@ def main(argv: list[str] | None = None) -> int:
         # docs here = a feature/vector table with an array<double> column
         import numpy as np
         from .som import SomParams, assign_bmu, fit_batch_som
-        vec_col = "embedding" if "embedding" in docs.columns else "lambda"
+        vec_col = args.vec_col if args.vec_col in docs.columns else \
+            ("embedding" if "embedding" in docs.columns else "lambda")
+        if vec_col not in docs.columns:
+            raise SystemExit(
+                f"--stage {args.stage} needs a vector table with an "
+                f"array<double> column (--vec-col, 'embedding', or an "
+                f"hmm-stage 'lambda'); input has {docs.columns}. Run "
+                f"--stage hmm first, or point --input at an embedding "
+                f"table.")
         p = SomParams(args.som_rows, args.som_cols, n_iter=args.som_epochs)
         weights, qerr = fit_batch_som(docs, vec_col, p)
         out = assign_bmu(docs, vec_col, weights)

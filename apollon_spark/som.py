@@ -380,6 +380,54 @@ def incremental_fit(data: np.ndarray, p: SomParams) -> tuple[np.ndarray, list[fl
     return weights, qerrors
 
 
+def incremental_kdtree_fit(data: np.ndarray, p: SomParams
+                           ) -> tuple[np.ndarray, list[float]]:
+    """Driver-exact port of the reference's KD-tree incremental variant
+    (som/som.py:348-379): per permuted sample, only the units inside
+    the BMU's Chebyshev ball of radius ``c_nhr`` on the lattice are
+    updated (the reference's ``SomGrid.nhb_idx`` is a cKDTree
+    ``query_ball_point(point, radius, p=inf)`` — som/som.py:29-39), and
+    every neighbor gets the SAME kernel weight ``exp(-1/c_nhr)*c_eta``:
+    the per-neighbor grid-distance computation is commented out in the
+    reference and replaced by ones (som/som.py:373-375 — quirk
+    preserved; ``gauss_kern(nhb, r) = exp(-nhb/r)``,
+    som/neighbors.py:107-108). eta decays linearly to final_eta=0 and
+    the radius exponentially to final_nhr=1 (som/utilities.py:46-69,
+    som/defaults.py:5-9). Per-epoch quantization error = mean BMU
+    distance over the full input (som/som.py:377-379).
+
+    Driver-side by design, like ``incremental_fit``: the sequential
+    per-sample recursion is order-dependent and cannot be distributed
+    without changing trajectories; ``fit_batch_som`` is the scale path
+    with the same converged-quality contract."""
+    np.random.seed(p.seed)        # som/som.py:364 uses the legacy API
+    grid = SomGrid(p.n_rows, p.n_cols)
+    pos = grid.positions
+    d = data.shape[1]
+    weights = init_weights(p.init, (p.n_rows, p.n_cols, d), data, p.seed)
+    nhr0 = p.nhr_start if p.nhr_start is not None else \
+        max(p.n_rows, p.n_cols) / 2.0
+    etas = np.linspace(p.eta_start, 0.0, p.n_iter, endpoint=False)
+    # Chebyshev lattice distances stand in for the cKDTree radius
+    # query: ball membership == (cheb_dist <= radius), identical sets
+    cheb = grid_dists(grid, "chebyshev")
+    qerrors: list[float] = []
+    hit_counts = np.zeros(grid.n_units, dtype="int64")
+    for epoch in range(p.n_iter):
+        radius = max(nhr0 * (1.0 / nhr0) ** (epoch / max(p.n_iter - 1, 1)),
+                     1.0) if nhr0 > 1 else 1.0
+        for i in np.random.permutation(len(data)):
+            x = data[i]
+            bmu, _ = best_match(weights, x, p.metric)
+            hit_counts[bmu[0]] += 1
+            nh_idx = np.where(cheb[bmu[0]] <= radius)[0]
+            kern = np.exp(-1.0 / radius) * etas[epoch]
+            weights[nh_idx] += (x - weights[nh_idx]) * kern
+        _, dist = best_match(weights, data, p.metric)
+        qerrors.append(float(dist.mean()))
+    return weights, qerrors
+
+
 # ---------------------------------------------------------------------------
 # Calibration-family queries (som/som.py:174-273, som/utilities.py:225-246)
 # ---------------------------------------------------------------------------

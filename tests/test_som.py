@@ -43,6 +43,40 @@ def test_incremental_fit_quality_decreases():
     assert qerr[-1] < 1.0
 
 
+def test_incremental_kdtree_fit_semantics():
+    """KD-tree variant (som/som.py:348-379): converges on clustered
+    data, and a hand-rolled oracle of the reference's loop — Chebyshev
+    ball neighborhood, UNIFORM exp(-1/r)*eta kernel (the quirk: grid
+    distances commented out, dists=ones) — reproduces the weights
+    bit-for-bit given the same seed and schedule."""
+    data = _clusters()
+    p = som.SomParams(5, 5, n_iter=4, eta_start=0.5, init="rnd", seed=10)
+    w, qerr = som.incremental_kdtree_fit(data, p)
+    assert qerr[-1] < qerr[0] and qerr[-1] < 1.0
+
+    # oracle re-implementation: the cKDTree query_ball_point(p=inf)
+    # of the reference (som/som.py:29-39) IS the Chebyshev ball, so the
+    # oracle derives membership per sample from raw lattice coords
+    # (no grid_dists sharing with the implementation), per-unit scalar
+    # loop for the update
+    np.random.seed(p.seed)
+    pos = np.array([(r, c) for r in range(5) for c in range(5)], "float64")
+    w2 = som.init_weights("rnd", (5, 5, 2), data, p.seed)
+    etas = np.linspace(0.5, 0.0, p.n_iter, endpoint=False)
+    nhr0 = 5 / 2.0
+    for epoch in range(p.n_iter):
+        radius = max(nhr0 * (1.0 / nhr0) ** (epoch / (p.n_iter - 1)), 1.0)
+        for i in np.random.permutation(len(data)):
+            x = data[i]
+            bmu, _ = som.best_match(w2, x, p.metric)
+            kern = np.exp(-1.0 / radius) * etas[epoch]
+            for u in range(25):
+                if max(abs(pos[u][0] - pos[bmu[0]][0]),
+                       abs(pos[u][1] - pos[bmu[0]][1])) <= radius:
+                    w2[u] += (x - w2[u]) * kern
+    np.testing.assert_array_equal(w, w2)
+
+
 def test_batch_som_spark_quality(spark):
     import pandas as pd
     data = _clusters(400)
