@@ -3,9 +3,12 @@
 ``entry(spark)``: flagship feature-extraction pipeline on sf0.001.
 ``queries()``: one entry per implemented operator (SURVEY.md §2).
 ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents. Queries whose
-math is not SQL-expressible (FFT battery, HMM EM, SOM, LSH-ANN) have
-no oracle entry — they are covered by the pytest parity suite against
-a reference-shaped numpy oracle instead (tests/test_features.py etc.).
+math is not SQL-expressible (FFT battery, HMM EM, iterative training)
+have no oracle entry — they are covered by the pytest parity suite
+against a reference-shaped numpy oracle instead (tests/test_features.py
+etc.). The ANN pipelines (ann_lsh, ivf_ann) ARE value-oracled: fixed
+centroids / seeded plane literals make routing + probing + exact-cosine
+rerank fully re-derivable in SQL.
 
 Shared determinism contract: the docs table is derived from
 ``documents`` with a token map expressible identically in Spark SQL and
@@ -868,12 +871,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onset_gather": _q_onset_gather,
         "cosine_neardup": _q_cosine_neardup,
         "extend_energy": _q_extend_energy,
+        "ann_lsh": _q_ann_lsh,
         # rows-only (non-SQL-expressible; pytest parity instead)
         "features_battery": _q_features_battery,
         "features_split": _q_features_split,
         "hmm": _q_hmm,
         "onsets": _q_onsets,
-        "ann_lsh": _q_ann_lsh,
     }
 
 
@@ -1720,6 +1723,8 @@ FROM ranked WHERE rn = 1
         "lsh_pairs": _lsh_pairs_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "ann_rerank": _ann_rerank_sql(),
+        "ann_lsh": _ann_lsh_sql(),
+        "ivf_ann": _ivf_ann_sql(),
         "cosine_neardup_lsh": _cosine_lsh_sql(),
         "media_features": _media_features_sql(),
         "som_train": _som_train_sql(),
