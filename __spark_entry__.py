@@ -872,9 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup,
         "extend_energy": _q_extend_energy,
         "ann_lsh": _q_ann_lsh,
+        "features_split": _q_features_split,
         # rows-only (non-SQL-expressible; pytest parity instead)
         "features_battery": _q_features_battery,
-        "features_split": _q_features_split,
         "hmm": _q_hmm,
         "onsets": _q_onsets,
     }
@@ -1072,6 +1072,42 @@ sims AS (
        AS sim
   FROM cand
 )"""
+
+
+def _battery_time_sql() -> str:
+    """Time-domain battery columns (energy/rms/spl) for framing 32/16
+    with extend+pad (segment.py:189-219 count formula): the oracle for
+    BOTH battery_time (fast path) and features_split (halo-split path)
+    — pytest proves split == unsplit bit-equal, so one SQL covers
+    both pipelines' value semantics."""
+    return f"""
+{_WF},
+meta AS (
+  SELECT doc_id,
+         CAST((n_tok + 32 + ((((-(n_tok - 32)) % 16) + 16) % 16 % 32) - 16)
+              // 16 AS BIGINT) AS n_segs
+  FROM docs WHERE n_tok >= 32
+),
+segs AS (
+  SELECT doc_id, unnest(range(0, n_segs)) AS seg_idx FROM meta
+),
+agg AS (
+  SELECT s.doc_id, CAST(s.seg_idx AS INT) AS seg_idx,
+         CAST(s.seg_idx * 16 AS BIGINT) AS center,
+         coalesce(sum(CAST(f.token AS DOUBLE) * f.token), 0.0) AS energy
+  FROM segs s LEFT JOIN frames f
+    ON f.doc_id = s.doc_id
+   AND f.position >= s.seg_idx * 16 - 16 AND f.position < s.seg_idx * 16 + 16
+  GROUP BY s.doc_id, s.seg_idx
+)
+SELECT doc_id, seg_idx, center,
+       round(energy, 6) AS energy,
+       round(sqrt(energy / 32), 6) AS rms,
+       round(CASE WHEN energy > 0
+                  THEN 20 * log10(sqrt(energy / 32) / 2e-5)
+                  ELSE 0.0 END, 6) AS spl
+FROM agg
+"""
 
 
 def _ann_rerank_sql(n_planes: int = 4, seed: int = 11,
@@ -1532,34 +1568,11 @@ SELECT doc_id, lag,
          AS acf_pearson
 FROM pear
 """,
-        "battery_time": f"""
-{_WF},
-meta AS (
-  SELECT doc_id,
-         CAST((n_tok + 32 + ((((-(n_tok - 32)) % 16) + 16) % 16 % 32) - 16)
-              // 16 AS BIGINT) AS n_segs
-  FROM docs WHERE n_tok >= 32
-),
-segs AS (
-  SELECT doc_id, unnest(range(0, n_segs)) AS seg_idx FROM meta
-),
-agg AS (
-  SELECT s.doc_id, CAST(s.seg_idx AS INT) AS seg_idx,
-         CAST(s.seg_idx * 16 AS BIGINT) AS center,
-         coalesce(sum(CAST(f.token AS DOUBLE) * f.token), 0.0) AS energy
-  FROM segs s LEFT JOIN frames f
-    ON f.doc_id = s.doc_id
-   AND f.position >= s.seg_idx * 16 - 16 AND f.position < s.seg_idx * 16 + 16
-  GROUP BY s.doc_id, s.seg_idx
-)
-SELECT doc_id, seg_idx, center,
-       round(energy, 6) AS energy,
-       round(sqrt(energy / 32), 6) AS rms,
-       round(CASE WHEN energy > 0
-                  THEN 20 * log10(sqrt(energy / 32) / 2e-5)
-                  ELSE 0.0 END, 6) AS spl
-FROM agg
-""",
+        "battery_time": _battery_time_sql(),
+        # the halo-SPLIT battery projects the same SQL-expressible
+        # time-domain columns (split==unsplit is bit-equal, pytest),
+        # so the identical SQL value-oracles the split pipeline too
+        "features_split": _battery_time_sql(),
         "causal_energy": f"""
 {_WF},
 segs AS (
