@@ -425,12 +425,23 @@ def _q_knn_cosine(spark, sf_dir):
 
 
 def _q_text_profile(spark, sf_dir):
-    from apollon_spark.ml.textstats import text_profile
+    from apollon_spark.ml.textstats import scrub_cols, text_profile
     documents = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     prof = text_profile(documents)
+    # The fixture text is PII-free, so exercise the scrubber on text
+    # augmented with deterministic per-row PII (same concat in the
+    # DuckDB oracle) — value-oracles all four regexp_replace kinds.
+    aug = F.concat(F.col("text"), F.lit(" contact u"), F.col("doc_id"),
+                   F.lit("@ex.com via https://ex.com/d/"), F.col("doc_id"),
+                   F.lit(" at 10.20.30.40 ref 9876543210"))
+    scrubbed, counts = scrub_cols(aug)
+    prof = prof.withColumn("text_scrubbed", scrubbed)
+    for name, col in counts.items():
+        prof = prof.withColumn(name, col.cast("int"))
     return prof.select("doc_id", "n_words", "n_chars", "n_tokens_est",
-                       "quality", "lang_pred")
+                       "quality", "lang_pred", "text_scrubbed",
+                       "n_email", "n_url", "n_ip", "n_digits")
 
 
 def _q_tpch_q1(spark, sf_dir):
@@ -1344,8 +1355,21 @@ def _media_features_sql(n: int = 32, dim: int = 8) -> str:
 
 
 def _text_profile_sql() -> str:
-    from apollon_spark.ml.textstats import LANG_MARKERS
+    from apollon_spark.ml.textstats import LANG_MARKERS, SCRUB_PATTERNS
     langs = sorted(LANG_MARKERS)
+    # PII scrub on the same augmented text as the Spark gate: chained
+    # regexp_replace + per-kind counts on the progressively scrubbed
+    # string (patterns are RE2/Java-parity by design, pinned by
+    # tests/test_textstats.py::test_scrub_duckdb_parity).
+    aug = ("text || ' contact u' || doc_id || '@ex.com via "
+           "https://ex.com/d/' || doc_id || "
+           "' at 10.20.30.40 ref 9876543210'")
+    scrub_expr, scrub_cnts = aug, []
+    for kind, pat, repl in SCRUB_PATTERNS:
+        scrub_cnts.append(
+            f"CAST(len(regexp_extract_all({scrub_expr}, '{pat}')) AS INT)"
+            f" AS n_{kind}")
+        scrub_expr = f"regexp_replace({scrub_expr}, '{pat}', '{repl}', 'g')"
     score_exprs = ", ".join(
         "CAST(len(list_filter(ws, w -> w IN ({lst}))) AS DOUBLE) / n "
         "AS s_{lang}".format(
@@ -1381,7 +1405,9 @@ SELECT doc_id,
          + 0.3 * (CASE WHEN length(text) * 1.0 / len(string_split(text, ' '))
                        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END), 6)
          AS quality,
-       CASE WHEN {gmax} > 0 THEN {case_lang} ELSE 'und' END AS lang_pred
+       CASE WHEN {gmax} > 0 THEN {case_lang} ELSE 'und' END AS lang_pred,
+       {scrub_expr} AS text_scrubbed,
+       {', '.join(scrub_cnts)}
 FROM scored
 """
 

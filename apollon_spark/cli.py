@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["features", "onsets", "hmm", "som",
                              "position", "export", "nonlinear",
                              "dedup", "neardup", "ann", "textstats",
-                             "ingest", "stream-neardup",
+                             "scrub", "ingest", "stream-neardup",
                              "pack", "sample", "contaminate", "cluster"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -204,6 +204,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.stage == "textstats":
         from .ml.textstats import text_profile
         storage.write_table(text_profile(docs, args.text_col), args.output)
+    elif args.stage == "scrub":
+        from .ml.textstats import scrub_text
+        storage.write_table(scrub_text(docs, args.text_col), args.output)
     elif args.stage == "ingest":
         # raw documents table -> canonical tokenized docs table, in
         # the SCALE.md layout: bucketed by doc_id (co-located joins +

@@ -105,3 +105,46 @@ def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
         out.withColumn("quality", quality_score_col(F.col(text_col)))
         .withColumn("lang_pred", lang_id_col(F.col(text_col)))
     )
+
+
+# PII / URL scrubbing (C4/RefinedWeb-style cleaning). Patterns are
+# deliberately RE2-compatible (no lookaround, no backrefs) so the same
+# strings run identically under Java regex (Spark, codegen'd) and
+# DuckDB/RE2 — parity is pinned by tests/test_textstats.py.
+# Replacement order matters: emails before URLs (an address inside a
+# mailto: URL should read as one email), URLs before bare IPs / digit
+# runs (so host digits aren't double-masked).
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("url", r"https?://[^\s<>]+", "<URL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # 7+ consecutive digits (phone / account / card fragments)
+    ("digits", r"\d{7,}", "<NUM>"),
+]
+
+
+def scrub_cols(text: Column) -> tuple[Column, dict[str, Column]]:
+    """(scrubbed text, {kind: match count}) — one chained
+    regexp_replace per PII kind plus a regexp_count per kind, all
+    JVM-side codegen'd expressions (no UDF)."""
+    counts: dict[str, Column] = {}
+    scrubbed = text
+    for kind, pat, repl in SCRUB_PATTERNS:
+        counts[f"n_{kind}"] = F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return scrubbed, counts
+
+
+def scrub_text(documents: DataFrame, text_col: str = "text",
+               out_col: str = "text_scrubbed") -> DataFrame:
+    """Mask emails / URLs / IPv4s / long digit runs with typed
+    placeholder tokens and attach per-kind match counts
+    (n_email, n_url, n_ip, n_digits) for downstream filter decisions.
+    Counts are taken on the progressively scrubbed string, so an email
+    inside a mailto: URL counts once as email, not again as URL."""
+    scrubbed, counts = scrub_cols(F.col(text_col))
+    out = documents.withColumn(out_col, scrubbed)
+    for name, col in counts.items():
+        out = out.withColumn(name, col)
+    return out

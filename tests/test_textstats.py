@@ -2,7 +2,8 @@
 import pandas as pd
 from pyspark.sql import functions as F
 
-from apollon_spark.ml.textstats import (fingerprint_col, lang_id_col,
+from apollon_spark.ml.textstats import (SCRUB_PATTERNS, fingerprint_col,
+                                        lang_id_col, scrub_text,
                                         text_profile)
 
 
@@ -19,6 +20,69 @@ def test_text_profile(spark):
     assert out.loc["3", "lang_pred"] == "und"
     assert out.loc["1", "n_words"] == 10
     assert (out["quality"] >= 0).all() and (out["quality"] <= 1).all()
+
+
+def test_scrub_text(spark):
+    pdf = pd.DataFrame({
+        "doc_id": ["1", "2", "3", "4"],
+        "text": [
+            "mail me at jane.doe+spam@example.co.uk today",
+            "see https://example.com/a?b=1 and http://t.co/xyz",
+            "server 10.0.0.1 called 12345678901 twice",
+            "clean text with no pii at all",
+        ]})
+    out = scrub_text(spark.createDataFrame(pdf)).toPandas() \
+        .set_index("doc_id")
+    assert out.loc["1", "text_scrubbed"] == "mail me at <EMAIL> today"
+    assert out.loc["1", "n_email"] == 1
+    assert out.loc["2", "text_scrubbed"] == "see <URL> and <URL>"
+    assert out.loc["2", "n_url"] == 2
+    assert out.loc["3", "text_scrubbed"] == "server <IP> called <NUM> twice"
+    assert out.loc["3", "n_ip"] == 1 and out.loc["3", "n_digits"] == 1
+    assert out.loc["4", "text_scrubbed"] == out.loc["4", "text"]
+    assert (out.loc["4", ["n_email", "n_url", "n_ip", "n_digits"]] == 0).all()
+
+
+def test_scrub_precedence(spark):
+    """An email inside a mailto: URL is masked (and counted) as email
+    first; digits inside an already-masked URL are not re-masked."""
+    pdf = pd.DataFrame({
+        "doc_id": ["1"],
+        "text": ["write mailto:bob@corp.io or https://x.io/12345678901"]})
+    row = scrub_text(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert row["text_scrubbed"] == "write mailto:<EMAIL> or <URL>"
+    assert row["n_email"] == 1 and row["n_url"] == 1
+    assert row["n_digits"] == 0
+
+
+def test_scrub_duckdb_parity(spark):
+    """The patterns are RE2-compatible by design: DuckDB's
+    regexp_replace(g)/len-diff count over the same strings must produce
+    identical scrubbed text and counts (the same property the oracle
+    gate relies on for text SQL)."""
+    import duckdb
+    texts = [
+        "a@b.io and c.d-e@f.org meet at https://ex.com/p?q=1#frag",
+        "ip 192.168.1.255 vs version 1.2.3 and num 9876543210",
+        "edge: http://trailing.dot/. then a@b.c.",
+        "nothing here",
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = scrub_text(sdf).toPandas()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": texts}))
+    expr = "text"
+    cnts = []
+    for kind, pat, repl in SCRUB_PATTERNS:
+        cnts.append(
+            f"len(regexp_extract_all({expr}, '{pat}')) AS n_{kind}")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    want = con.execute(
+        f"SELECT {expr} AS text_scrubbed, {', '.join(cnts)} FROM t"
+    ).fetchdf()
+    assert got["text_scrubbed"].tolist() == want["text_scrubbed"].tolist()
+    for kind, _, _ in SCRUB_PATTERNS:
+        assert got[f"n_{kind}"].tolist() == want[f"n_{kind}"].tolist(), kind
 
 
 def test_fingerprint_order_sensitive(spark):
