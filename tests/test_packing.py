@@ -42,7 +42,7 @@ FIXTURE = [
 ]
 
 
-@pytest.mark.parametrize("ctx", [4, 8, 64])
+@pytest.mark.parametrize("ctx", [1, 4, 8, 64])
 def test_pack_exact_token_equality(spark, ctx):
     df = _docs_df(spark, FIXTURE)
     packed = pack_sequences(df, ctx).orderBy("seq_id").collect()
@@ -138,6 +138,40 @@ def test_pack_boundaries_metadata(spark):
         want = [max(starts[d] - s, 0) for d in seqs[row["seq_id"]][1]]
         assert list(row["boundaries"]) == want, row["seq_id"]
         assert row["boundaries"][0] == 0 or starts[row["first_doc"]] >= s
+
+
+def test_pack_roundtrip_property(spark):
+    """Property-based round-trip: for ANY corpus shape (empty docs,
+    docs much longer than ctx, ctx=1), flattening the packed
+    sequences in seq_id order reproduces concat-in-doc_id-order
+    exactly, and every sequence except the tail is full. Few examples
+    (each runs real Spark jobs), wide generator instead."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    doc_lens = st.lists(st.integers(min_value=0, max_value=70),
+                        min_size=0, max_size=25)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(lens=doc_lens, ctx=st.integers(min_value=1, max_value=32),
+           seed=st.integers(min_value=0, max_value=2**31 - 1))
+    def prop(lens, ctx, seed):
+        rng = np.random.RandomState(seed)
+        rows = [(f"doc_{i:03d}", rng.randint(0, 999, n).tolist())
+                for i, n in enumerate(lens)]
+        packed = (pack_sequences(_docs_df(spark, rows), ctx, n_buckets=4)
+                  .orderBy("seq_id").collect())
+        flat = [x for _, t in sorted(rows) for x in t]
+        rebuilt = [x for r in packed for x in r["tokens"]]
+        assert rebuilt == flat
+        sizes = [r["n_tok"] for r in packed]
+        assert all(s == ctx for s in sizes[:-1])
+        if sizes:
+            assert 0 < sizes[-1] <= ctx
+        assert [r["seq_id"] for r in packed] == list(range(len(packed)))
+
+    prop()
 
 
 def test_pack_offsets_partial_range_sampling(spark):
