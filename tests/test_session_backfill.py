@@ -127,6 +127,42 @@ def test_delay_embed_cols(spark):
     np.testing.assert_allclose(out["v_d2"], out["v"] + 6)
 
 
+def test_locf_property_vs_pandas(spark):
+    """Property-based LOCF parity: ANY NaN pattern / key skew / limit
+    (incl. all-NaN keys, limit=0, limit >= run length) must match
+    pandas groupby-ffill row-for-row. Few examples — each is a real
+    Spark job — with a wide generator."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(n=st.integers(min_value=1, max_value=60),
+           nan_p=st.floats(min_value=0.0, max_value=1.0),
+           n_keys=st.integers(min_value=1, max_value=5),
+           limit=st.one_of(st.none(), st.integers(min_value=0, max_value=8)),
+           seed=st.integers(min_value=0, max_value=2**31 - 1))
+    def prop(n, nan_p, n_keys, limit, seed):
+        rng = np.random.default_rng(seed)
+        vals = rng.random(n).round(6)
+        vals[rng.random(n) < nan_p] = np.nan
+        pdf = pd.DataFrame({"k": rng.integers(0, n_keys, n),
+                            "t": np.arange(n, dtype="int64"), "v": vals})
+        want = pdf.sort_values(["k", "t"]).copy()
+        # pandas treats limit=0 as invalid; the operator contract is
+        # "fill nothing" — normalize the oracle accordingly
+        if limit == 0:
+            pass
+        else:
+            want["v"] = want.groupby("k")["v"].ffill(limit=limit)
+        got = locf(spark.createDataFrame(pdf), ["v"], on="t", by="k",
+                   limit=limit).toPandas().sort_values(["k", "t"])
+        np.testing.assert_allclose(got["v"].to_numpy(),
+                                   want["v"].to_numpy(), equal_nan=True)
+
+    prop()
+
+
 def test_locf_limit_matches_pandas_ffill(spark):
     """locf(limit=n) == pandas ffill(limit=n) row-for-row."""
     import numpy as np
