@@ -2017,11 +2017,4 @@ SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
 FROM segs
 """,
     }
-    # derived entries: the split battery must equal the unsplit one
-    # column-for-column (pytest proves bit-equality), so its
-    # time-domain projection shares battery_time's oracle; the ANN
-    # gates get the rank-cut builders
-    out["features_split"] = out["battery_time"]
-    out["ann_lsh"] = _ann_lsh_sql()
-    out["ivf_ann"] = _ivf_ann_sql()
     return out

@@ -175,7 +175,16 @@ def vocab_stats(docs: DataFrame, top_k: int = 32) -> DataFrame:
     stats = frames.groupBy("token").agg(
         F.count("*").alias("n_occur"),
         F.countDistinct("doc_id").alias("n_docs"))
-    w = Window.orderBy(F.col("n_occur").desc(), F.col("token").asc())
+    # The global rank window is deliberate: it runs on the
+    # POST-aggregate table, which is vocab-sized (≤ |vocab| rows, not
+    # corpus-sized), so single-partition is the right plan. Partition
+    # by a constant instead of leaving partitionSpec empty: same
+    # single-partition execution, but it silences Spark's "No
+    # Partition Defined for Window" warning so a real
+    # unpartitioned-window-on-big-data bug can't hide behind expected
+    # noise.
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_occur").desc(), F.col("token").asc())
     return (stats.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_k)
             .select("rank", "token", "n_occur", "n_docs"))

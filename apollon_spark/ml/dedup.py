@@ -518,29 +518,40 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
 # Duplicate-cluster resolution (connected components + canonical pick)
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         algorithm: str = "propagate") -> DataFrame:
     """Connected components over an undirected pair list
     (``id_a``, ``id_b``): returns (node, cluster_id) where cluster_id
     is the lexicographically smallest node id reachable from ``node``.
     Only nodes that appear in a pair are returned.
 
-    Algorithm: iterative min-label propagation with pointer jumping —
-    each round every node takes the min of its own label, its
-    neighbors' labels, and its label's label (path halving). Plain
-    propagation needs O(diameter) rounds; the pointer-jump join cuts
-    that to O(log d). Near-dup components are band-collision cliques,
-    so observed convergence is 2-3 rounds. For adversarial long-chain
-    graphs at 10^12 edges the published alternative is the
-    large-star/small-star MapReduce algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) — same equi-join
-    primitive, provably O(log^2 n) rounds; the propagation loop below
-    keeps the simpler shape because dedup graphs are shallow.
+    ``algorithm="propagate"`` (default): iterative min-label
+    propagation with pointer jumping — each round every node takes the
+    min of its own label, its neighbors' labels, and its label's label
+    (path halving). Plain propagation needs O(diameter) rounds; the
+    pointer-jump join cuts that to O(log d). Near-dup components are
+    band-collision cliques, so observed convergence is 2-3 rounds.
+
+    ``algorithm="star"``: the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same equi-join primitive, provably O(log^2 n) rounds
+    and per-round edge count never grows, the safe choice for
+    adversarial long-chain graphs (e.g. a 10^12-edge crawl graph with
+    transitively-chained near-dups). tests/test_dedup.py pins a
+    10^4-node path graph converging well inside the round budget.
 
     Every round materializes via eager localCheckpoint: truncates the
     iterative lineage (else the plan doubles per round) and gives the
     convergence-check count and next round one shared execution.
     Deterministic: min() over node ids, no sampling, no rng.
+
+    Raises RuntimeError if the round budget is exhausted before
+    convergence — partially-propagated labels are silent corruption
+    (wrong cluster ids downstream), so a loud stop is the only safe
+    behavior (ADVICE r03).
     """
+    if algorithm == "star":
+        return _cc_star(pairs, max_iter)
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
@@ -550,6 +561,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
+    changed = -1
     for _ in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
                .groupBy("src").agg(F.min("label").alias("nbr_label"))
@@ -571,13 +583,100 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = nxt.drop("_old")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components: labels did not converge within "
+            f"{max_iter} rounds ({changed} still changing) — raise "
+            f"max_iter or use algorithm='star' for long-chain graphs")
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14, Algorithm "Two-Phase"). Each round:
+
+    * large-star — for every node u with (symmetrized) neighborhood
+      N(u): connect every STRICTLY LARGER neighbor v > u to
+      m = min(N(u) ∪ {u});
+    * small-star — orient every edge toward its smaller endpoint,
+      then for every u: connect every neighbor (all now ≤ u) and u
+      itself to m = min(N(u) ∪ {u}).
+
+    Both steps preserve connectivity and never increase the edge
+    count; at the fixed point every component is a star centered on
+    its minimum node, so the final (v, m) edges ARE the labels.
+    Convergence is checked with an order-insensitive edge-set
+    checksum (count + bit_xor of xxhash64 — XOR can't overflow under
+    ANSI mode and edges are distinct, so it's a set checksum), and the
+    fixed point is verified — not assumed — before returning.
+
+    Raises RuntimeError when the round budget is exhausted (same
+    loud-stop contract as the propagate loop).
+    """
+    # canonical undirected, dedup'd, self-loop-free pair list
+    edges = (pairs.select(
+        F.least("id_a", "id_b").alias("u"),
+        F.greatest("id_a", "id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True))
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h")
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = checksum(edges)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over symmetrized adjacency
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        large = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.least("v", "m").alias("u"),
+                         F.greatest("v", "m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star on edges oriented toward the larger endpoint:
+        # group by the larger node; all its listed neighbors are <= it
+        oriented = large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        smins = (oriented.groupBy("u")
+                 .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        small = (oriented.join(smins, "u")
+                 .select(F.explode(F.array("u", "v")).alias("n"), "m")
+                 .select(F.least("n", "m").alias("u"),
+                         F.greatest("n", "m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        edges = small
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star): edge set did not reach a "
+            f"fixed point within {max_iter} rounds")
+    # fixed point = stars around component minima: (u=min, v=member)
+    members = edges.select(F.col("v").alias("node"),
+                           F.col("u").alias("cluster_id"))
+    roots = (edges.select(F.col("u").alias("node")).distinct()
+             .withColumn("cluster_id", F.col("node")))
+    return members.union(roots)
 
 
 def resolve_dup_clusters(docs: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          size_col: str = "n_tok",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         algorithm: str = "propagate") -> DataFrame:
     """Full dedup verdict per doc: group near-dup ``pairs`` into
     clusters (connected components) and pick one canonical doc per
     cluster — the standard resolution step after any pair miner
@@ -596,7 +695,7 @@ def resolve_dup_clusters(docs: DataFrame, pairs: DataFrame,
     comp = connected_components(
         pairs.select(F.col("id_a").cast("string").alias("id_a"),
                      F.col("id_b").cast("string").alias("id_b")),
-        max_iter=max_iter)
+        max_iter=max_iter, algorithm=algorithm)
     base = (docs.select(F.col(id_col), F.col(size_col))
             .join(comp.withColumnRenamed("node", id_col), id_col, "left")
             .select(id_col, size_col,

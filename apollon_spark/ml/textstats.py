@@ -111,13 +111,16 @@ def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
 # deliberately RE2-compatible (no lookaround, no backrefs) so the same
 # strings run identically under Java regex (Spark, codegen'd) and
 # DuckDB/RE2 — parity is pinned by tests/test_textstats.py.
-# Replacement order matters: emails before URLs (an address inside a
-# mailto: URL should read as one email), URLs before bare IPs / digit
-# runs (so host digits aren't double-masked).
+# Replacement order matters: full URLs (including mailto: and
+# userinfo-bearing https://user@host/... forms) before bare emails —
+# else the email pattern eats `user@example.com` out of the middle of
+# a URL and leaves scheme/path fragments unmasked with n_url=0 —
+# and URLs before bare IPs / digit runs (so host digits aren't
+# double-masked).
 SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"(?:https?://|mailto:)[^\s<>]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
-    ("url", r"https?://[^\s<>]+", "<URL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     # 7+ consecutive digits (phone / account / card fragments)
     ("digits", r"\d{7,}", "<NUM>"),
@@ -140,9 +143,10 @@ def scrub_text(documents: DataFrame, text_col: str = "text",
                out_col: str = "text_scrubbed") -> DataFrame:
     """Mask emails / URLs / IPv4s / long digit runs with typed
     placeholder tokens and attach per-kind match counts
-    (n_email, n_url, n_ip, n_digits) for downstream filter decisions.
+    (n_url, n_email, n_ip, n_digits) for downstream filter decisions.
     Counts are taken on the progressively scrubbed string, so an email
-    inside a mailto: URL counts once as email, not again as URL."""
+    inside a mailto: or userinfo URL counts once as URL, not again as
+    email."""
     scrubbed, counts = scrub_cols(F.col(text_col))
     out = documents.withColumn(out_col, scrubbed)
     for name, col in counts.items():

@@ -79,8 +79,9 @@ def _offsets(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     shuffle) + a B-row driver-side prefix sum broadcast back, then
     one equi-join attaches offsets to the token arrays (co-located
     for free when docs use the ingest stage's doc_id-bucketed
-    layout). The meta pass executes twice (totals, then offsets) —
-    acceptable because it carries no tokens."""
+    layout). The cumsum frame is eagerly localCheckpointed below, so
+    the meta pass executes ONCE; its two consumers (totals collect,
+    offsets join) both read the pinned result."""
     # materialize ONCE before the two consumers: repartitionByRange
     # re-samples its boundaries on every execution (the sample seed
     # varies per job), so without pinning, a row's _pid in the offsets

@@ -366,7 +366,10 @@ def incremental_fit(data: np.ndarray, p: SomParams) -> tuple[np.ndarray, list[fl
     d = data.shape[1]
     weights = init_weights(p.init, (p.n_rows, p.n_cols, d), data, p.seed)
     kern = KERNELS[p.kernel]
-    etas = np.linspace(p.eta_start, 0.0, p.n_iter, endpoint=False)
+    # decrease_linear(start, n, stop=0) yields start + (stop-start)*x/(n-1)
+    # (som/utilities.py:46-57): endpoint INCLUSIVE, so the final epoch
+    # has eta == 0 and applies no weight update (quirk preserved).
+    etas = np.linspace(p.eta_start, 0.0, p.n_iter)
     qerrors = []
     for epoch in range(p.n_iter):
         radius = _decay_radius(p, epoch)
@@ -391,10 +394,18 @@ def incremental_kdtree_fit(data: np.ndarray, p: SomParams
     the per-neighbor grid-distance computation is commented out in the
     reference and replaced by ones (som/som.py:373-375 — quirk
     preserved; ``gauss_kern(nhb, r) = exp(-nhb/r)``,
-    som/neighbors.py:107-108). eta decays linearly to final_eta=0 and
-    the radius exponentially to final_nhr=1 (som/utilities.py:46-69,
+    som/neighbors.py:107-108). eta decays linearly to final_eta=0 with
+    the endpoint INCLUSIVE (decrease_linear steps are
+    (stop-start)/(n_iter-1), som/utilities.py:46-57 — the final epoch
+    gets eta=0 and applies no update; quirk preserved) and the radius
+    exponentially to final_nhr=1 (som/utilities.py:59-69,
     som/defaults.py:5-9). Per-epoch quantization error = mean BMU
     distance over the full input (som/som.py:377-379).
+
+    One deliberate divergence: the reference hardcodes
+    ``np.random.seed(10)`` inside fit (som/som.py:364); this port
+    seeds with ``p.seed`` so tests can vary the stream — with
+    ``seed=10`` the permutation sequence is identical.
 
     Driver-side by design, like ``incremental_fit``: the sequential
     per-sample recursion is order-dependent and cannot be distributed
@@ -407,7 +418,8 @@ def incremental_kdtree_fit(data: np.ndarray, p: SomParams
     weights = init_weights(p.init, (p.n_rows, p.n_cols, d), data, p.seed)
     nhr0 = p.nhr_start if p.nhr_start is not None else \
         max(p.n_rows, p.n_cols) / 2.0
-    etas = np.linspace(p.eta_start, 0.0, p.n_iter, endpoint=False)
+    # endpoint-inclusive, matching decrease_linear (see incremental_fit)
+    etas = np.linspace(p.eta_start, 0.0, p.n_iter)
     # Chebyshev lattice distances stand in for the cKDTree radius
     # query: ball membership == (cheb_dist <= radius), identical sets
     cheb = grid_dists(grid, "chebyshev")

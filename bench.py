@@ -200,12 +200,16 @@ def main() -> None:
                  "vocab_topk", "dup_clusters"}
     # Gates that absorbed NEW work in r03 (docs_profile += repetition
     # metrics; locf += edge-clip/limit columns; lag_delta += delay-
-    # embed columns) are NOT apples-to-apples with their r01/r02
-    # timings, so they're excluded from the comparable subtotals and
-    # reported separately. The minhash gate's simhash merge stays: both
-    # halves were separate entries in the old suites, so including the
-    # merged timing only under-counts our side (conservative).
-    R03_GROWN = {"docs_profile", "locf", "lag_delta"}
+    # embed columns; text_profile += four scrub regexp_replace passes
+    # plus four regexp_count columns — genuinely new work, not a merge
+    # of a previously-timed gate) are NOT apples-to-apples with their
+    # r01/r02 timings, so they're excluded from the comparable
+    # subtotals and reported separately. MERGES of previously-timed
+    # gates stay: minhash absorbed the old simhash entry and frames_agg
+    # absorbed the old reassembly entry — both halves were separate
+    # entries in the old suites, so including the merged timing only
+    # under-counts our side (conservative).
+    R03_GROWN = {"docs_profile", "locf", "lag_delta", "text_profile"}
     r01_subset = round(sum(v for k, v in queries.items()
                            if k not in R02_ADDED | R03_ADDED | R03_GROWN),
                        3)

@@ -62,7 +62,9 @@ def test_incremental_kdtree_fit_semantics():
     np.random.seed(p.seed)
     pos = np.array([(r, c) for r in range(5) for c in range(5)], "float64")
     w2 = som.init_weights("rnd", (5, 5, 2), data, p.seed)
-    etas = np.linspace(0.5, 0.0, p.n_iter, endpoint=False)
+    # endpoint-inclusive per decrease_linear (som/utilities.py:46-57):
+    # last epoch eta == 0, a no-op update round (ADVICE r03 fix)
+    etas = np.linspace(0.5, 0.0, p.n_iter)
     nhr0 = 5 / 2.0
     for epoch in range(p.n_iter):
         radius = max(nhr0 * (1.0 / nhr0) ** (epoch / (p.n_iter - 1)), 1.0)

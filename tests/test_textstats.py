@@ -44,15 +44,25 @@ def test_scrub_text(spark):
 
 
 def test_scrub_precedence(spark):
-    """An email inside a mailto: URL is masked (and counted) as email
-    first; digits inside an already-masked URL are not re-masked."""
+    """URLs (incl. mailto: and userinfo forms) mask whole before the
+    email pass runs, so a URL with an embedded address becomes one
+    <URL> — not scheme + <EMAIL> + path fragments; digits inside an
+    already-masked URL are not re-masked."""
     pdf = pd.DataFrame({
-        "doc_id": ["1"],
-        "text": ["write mailto:bob@corp.io or https://x.io/12345678901"]})
-    row = scrub_text(spark.createDataFrame(pdf)).toPandas().iloc[0]
-    assert row["text_scrubbed"] == "write mailto:<EMAIL> or <URL>"
-    assert row["n_email"] == 1 and row["n_url"] == 1
-    assert row["n_digits"] == 0
+        "doc_id": ["1", "2"],
+        "text": [
+            "write mailto:bob@corp.io or https://x.io/12345678901",
+            "fetch https://user@example.com/path then email me@site.org",
+        ]})
+    out = (scrub_text(spark.createDataFrame(pdf)).toPandas()
+           .set_index("doc_id"))
+    assert out.loc["1", "text_scrubbed"] == "write <URL> or <URL>"
+    assert out.loc["1", "n_url"] == 2 and out.loc["1", "n_email"] == 0
+    assert out.loc["1", "n_digits"] == 0
+    # the ADVICE r03 case: userinfo URL stays one URL, bare email still
+    # masks as email
+    assert out.loc["2", "text_scrubbed"] == "fetch <URL> then email <EMAIL>"
+    assert out.loc["2", "n_url"] == 1 and out.loc["2", "n_email"] == 1
 
 
 def test_scrub_duckdb_parity(spark):
@@ -65,6 +75,7 @@ def test_scrub_duckdb_parity(spark):
         "a@b.io and c.d-e@f.org meet at https://ex.com/p?q=1#frag",
         "ip 192.168.1.255 vs version 1.2.3 and num 9876543210",
         "edge: http://trailing.dot/. then a@b.c.",
+        "userinfo https://bob@ex.com/p and mailto:eve@ex.org ok",
         "nothing here",
     ]
     sdf = spark.createDataFrame(pd.DataFrame({"text": texts}))
