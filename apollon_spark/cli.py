@@ -92,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="cluster: path of a pre-mined (id_a, id_b) "
                          "pair table (default: mine MinHash-LSH pairs "
                          "from --input)")
+    ap.add_argument("--cc-algorithm", choices=["propagate", "star"],
+                    default="propagate",
+                    help="cluster: connected-components algorithm — "
+                         "'propagate' (min-label + pointer jumping; "
+                         "dedup graphs are shallow) or 'star' "
+                         "(large-star/small-star, O(log^2 n) rounds "
+                         "for adversarial long-chain graphs)")
     ap.add_argument("--input-format", choices=["table", "wav"],
                     default="table",
                     help="'table' = parquet/Iceberg docs table; 'wav' = "
@@ -182,7 +189,8 @@ def main(argv: list[str] | None = None) -> int:
             eligible = docs.where(F.size("tokens") >= args.shingle_k)
             sigs = minhash_docs(eligible, args.n_hashes, args.shingle_k)
             pairs = lsh_candidate_pairs(sigs, n_bands=args.n_bands)
-        out = resolve_dup_clusters(docs, pairs, id_col=id_col)
+        out = resolve_dup_clusters(docs, pairs, id_col=id_col,
+                                   algorithm=args.cc_algorithm)
         storage.write_table(out, args.output)
         written = storage.read_table(spark, args.output)
         n_docs, n_keep = written.select(

@@ -269,6 +269,105 @@ def fit_hmm_docs(docs: DataFrame, m_states: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# E-step on fixed parameters (the forward-backward smoother on its own,
+# reference hmm/poisson.py:78-98 — the inference half of the EM loop)
+# ---------------------------------------------------------------------------
+
+def estep_b_table(lam, max_x: int = 255) -> np.ndarray:
+    """(max_x+1, m) table of row-max-normalized Poisson emission
+    likelihoods b(x, i) = exp((x·log λ_i − λ_i) − max_j(x·log λ_j − λ_j)).
+
+    The log-factorial term of the pmf is a per-observation constant
+    across states, so it cancels out of the row-max normalization —
+    posteriors and scaled forward variables never need it. Token values
+    live in [0, max_x], so the whole emission model is this finite
+    table; the oracle gate embeds the SAME doubles as exact literals,
+    which removes cross-engine exp/log from the comparison entirely."""
+    lam = np.asarray(lam, dtype="float64")
+    lg = np.log(lam)
+    xs = np.arange(max_x + 1, dtype="float64")
+    logb = xs[:, None] * lg[None, :] - lam[None, :]
+    return np.exp(logb - logb.max(axis=1, keepdims=True))
+
+
+def estep_posteriors_m2(x: np.ndarray, btab: np.ndarray,
+                        gamma, delta) -> tuple[np.ndarray, ...]:
+    """Scaled forward-backward E-step for m=2 states on FIXED (λ via
+    ``btab``, Γ, δ): returns (alpha0, c, post0, post1) per timestep —
+    the scaled forward variable for state 0, the per-step scale
+    factors, and the smoothed posteriors (reference hmm/poisson.py:78-98;
+    identical recurrences to ``poisson_em``'s E-step, minus the
+    factorial constant that cancels in every output).
+
+    Arithmetic is written out scalar-by-scalar in a FIXED operation
+    order (no np.dot / .sum()) so the DuckDB oracle can replay the
+    exact IEEE sequence: q_j = (a0·g0j + a1·g1j)·b_j, c = q_0 + q_1,
+    a_j = q_j / c; β_i = (g_i0·(b_0β_0) + g_i1·(b_1β_1)) / c;
+    post_i = a_iβ_i / (a_0β_0 + a_1β_1)."""
+    x = assert_poisson_input(np.asarray(x))
+    T = x.size
+    (g00, g01), (g10, g11) = gamma
+    d0, d1 = delta
+    b0 = btab[x, 0]
+    b1 = btab[x, 1]
+    a0 = np.empty(T)
+    a1 = np.empty(T)
+    c = np.empty(T)
+    p0 = d0 * b0[0]
+    p1 = d1 * b1[0]
+    c[0] = p0 + p1
+    a0[0] = p0 / c[0]
+    a1[0] = p1 / c[0]
+    for t in range(1, T):
+        q0 = (a0[t - 1] * g00 + a1[t - 1] * g10) * b0[t]
+        q1 = (a0[t - 1] * g01 + a1[t - 1] * g11) * b1[t]
+        c[t] = q0 + q1
+        a0[t] = q0 / c[t]
+        a1[t] = q1 / c[t]
+    be0 = np.empty(T)
+    be1 = np.empty(T)
+    be0[T - 1] = 1.0
+    be1[T - 1] = 1.0
+    for t in range(T - 2, -1, -1):
+        v0 = b0[t + 1] * be0[t + 1]
+        v1 = b1[t + 1] * be1[t + 1]
+        be0[t] = (g00 * v0 + g01 * v1) / c[t + 1]
+        be1[t] = (g10 * v0 + g11 * v1) / c[t + 1]
+    n0 = a0 * be0
+    n1 = a1 * be1
+    s = n0 + n1
+    return a0, c, n0 / s, n1 / s
+
+
+def estep_docs(docs: DataFrame, lam, gamma, delta) -> DataFrame:
+    """Per-doc E-step posteriors on fixed 2-state parameters — one
+    shuffle-free mapInPandas over (doc_id, tokens), long-form output
+    (doc_id, t, alpha0, cscale, post0, post1). The b table is built
+    once on the driver and closed over (tiny: 256×2 doubles)."""
+    btab = estep_b_table(lam)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype="int64")
+                if x.size == 0:
+                    continue
+                a0, c, p0, p1 = estep_posteriors_m2(x, btab, gamma, delta)
+                out.append(pd.DataFrame({
+                    "doc_id": np.repeat(doc_id, x.size),
+                    "t": np.arange(x.size, dtype="int32"),
+                    "alpha0": a0, "cscale": c,
+                    "post0": p0, "post1": p1}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return docs.select("doc_id", "tokens").mapInPandas(
+        gen, "doc_id string, t int, alpha0 double, cscale double, "
+             "post0 double, post1 double")
+
+
+# ---------------------------------------------------------------------------
 # Reparametrization utilities (hmm/utilities.py:361-478)
 # ---------------------------------------------------------------------------
 

@@ -7,10 +7,12 @@ Everything is integer arithmetic or a single IEEE division of two
 exact integers, so every output is bit-identical between Spark and
 the ANSI-SQL oracle (the repo's established exactness discipline).
 
-Token-packing precondition: n-gram keys are packed as
-t0*65536 + t1*256 + t2, exact only for token ids in [0, 256) — the
-canonical docs table's token space. For larger vocabularies swap the
-packing for xxhash64(concat_ws(...)); the join shapes are unchanged.
+Token-packing: n-gram keys default to base-256 positional packing
+(t0*65536 + t1*256 + t2 at k=3), exact only for token ids in
+[0, 256) — the canonical docs table's token space — and identically
+expressible in DuckDB for the oracle gate. ``packing="hash"`` switches
+to xxhash64 keys for real tokenizer vocabs (32k-256k ids); the join
+shapes are unchanged (pytest-verified at k=5 on a >256-id fixture).
 """
 from __future__ import annotations
 
@@ -59,12 +61,35 @@ def _shingles(k: int) -> str:
     return f"transform(sequence(0, n_tok - {k}), i -> {terms})"
 
 
-def doc_ngrams(docs: DataFrame, k: int = 3,
-               distinct: bool = True) -> DataFrame:
+def _hash_shingles(k: int) -> str:
+    """Spark SQL expr: xxhash64-packed k-gram keys — the large-vocab
+    path (any int32 token ids; 64-bit keys, collision probability
+    ~n²/2^65 — negligible at any realistic gram count per doc-pair
+    comparison). Not reproducible in DuckDB (no compatible xxhash64),
+    so this path is pytest-verified against the exact-tuple oracle
+    rather than SQL-oracled."""
+    args = ", ".join(f"tokens[i + {j}]" for j in range(k))
+    return f"transform(sequence(0, n_tok - {k}), i -> xxhash64({args}))"
+
+
+def doc_ngrams(docs: DataFrame, k: int = 3, distinct: bool = True,
+               packing: str = "base256") -> DataFrame:
     """(doc_id, gram) exploded k-gram view; docs shorter than k emit
     nothing. ``distinct`` dedups grams within a doc (the standard
-    decontamination convention: one hit per unique gram)."""
-    arr = F.expr(_shingles(k))
+    decontamination convention: one hit per unique gram).
+
+    ``packing="base256"`` (default): exact positional packing, valid
+    only for token ids in [0, 256) — the canonical docs table — and
+    identically expressible in DuckDB (the oracle gate's path).
+    ``packing="hash"``: xxhash64 keys for arbitrary int token ids
+    (real tokenizer vocabs are 32k-256k); same join shapes, 64-bit
+    keys."""
+    if packing == "base256":
+        arr = F.expr(_shingles(k))
+    elif packing == "hash":
+        arr = F.expr(_hash_shingles(k))
+    else:
+        raise ValueError(f"unknown packing {packing!r}")
     if distinct:
         arr = F.array_distinct(arr)
     return (docs.where(F.col("n_tok") >= k)
@@ -72,7 +97,7 @@ def doc_ngrams(docs: DataFrame, k: int = 3,
 
 
 def contamination_check(docs: DataFrame, bench: DataFrame,
-                        k: int = 3) -> DataFrame:
+                        k: int = 3, packing: str = "base256") -> DataFrame:
     """Per-doc overlap of the doc's distinct k-grams with a benchmark
     set's gram universe — the standard train/eval decontamination
     scan (e.g. GPT-3 App. C; public).
@@ -81,10 +106,14 @@ def contamination_check(docs: DataFrame, bench: DataFrame,
     gram set is distinct'd then BROADCAST (eval suites are tiny next
     to the corpus), so the corpus side is one scan + one map-side
     hash join + one groupBy(doc_id) whose partial aggregation
-    combines map-side; no corpus self-shuffle."""
-    bench_grams = (doc_ngrams(bench, k).select("gram").distinct()
+    combines map-side; no corpus self-shuffle.
+
+    ``packing``: "base256" (exact, token ids < 256, SQL-oracle-able)
+    or "hash" (xxhash64 keys, any vocab size — see doc_ngrams)."""
+    bench_grams = (doc_ngrams(bench, k, packing=packing)
+                   .select("gram").distinct()
                    .withColumn("_hit", F.lit(1)))
-    grams = doc_ngrams(docs, k)
+    grams = doc_ngrams(docs, k, packing=packing)
     hits = (grams.join(F.broadcast(bench_grams), "gram", "left")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_grams"),
@@ -147,6 +176,13 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
     salted md5 4-hex prefix sorts below hex(frac(w_s) * 65536) — an
     engine-reproducible coin independent of ``sample_rate``'s (own
     salt). Strata missing from ``weights`` get weight 0 (dropped).
+
+    Fractional resolution is 1/65536 and the threshold is CLAMPED to
+    65535 ("ffff"): frac(w) ∈ [65535/65536, 1) rounds DOWN to keeping
+    ~65535/65536 of the stratum, never up to a 5-hex-digit threshold
+    ("10000") that would corrupt the 4-char string comparison. An
+    integer weight has frac 0 → threshold "0000" → exactly floor(w)
+    copies, no bonus coin.
 
     Returns (source, doc_id, copy) with copy in 1..n_copies. Scale:
     pure per-row arithmetic + an explode bounded by ceil(w) — no

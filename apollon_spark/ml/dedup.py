@@ -519,7 +519,8 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, max_iter: int = 25,
-                         algorithm: str = "propagate") -> DataFrame:
+                         algorithm: str = "propagate",
+                         stats: dict | None = None) -> DataFrame:
     """Connected components over an undirected pair list
     (``id_a``, ``id_b``): returns (node, cluster_id) where cluster_id
     is the lexicographically smallest node id reachable from ``node``.
@@ -548,10 +549,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     Raises RuntimeError if the round budget is exhausted before
     convergence — partially-propagated labels are silent corruption
     (wrong cluster ids downstream), so a loud stop is the only safe
-    behavior (ADVICE r03).
+    behavior (ADVICE r03). ``stats`` (optional dict) receives
+    {"rounds": n} for scale diagnostics (SCALE.md appendix).
     """
     if algorithm == "star":
-        return _cc_star(pairs, max_iter)
+        return _cc_star(pairs, max_iter, stats=stats)
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
@@ -562,7 +564,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
     changed = -1
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
                .groupBy("src").agg(F.min("label").alias("nbr_label"))
                .withColumnRenamed("src", "node"))
@@ -588,10 +592,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
             f"connected_components: labels did not converge within "
             f"{max_iter} rounds ({changed} still changing) — raise "
             f"max_iter or use algorithm='star' for long-chain graphs")
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
-def _cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _cc_star(pairs: DataFrame, max_iter: int = 25,
+             stats: dict | None = None) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     SoCC'14, Algorithm "Two-Phase"). Each round:
 
@@ -630,7 +637,9 @@ def _cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
     prev = checksum(edges)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star over symmetrized adjacency
         sym = edges.union(edges.select(F.col("v").alias("u"),
                                        F.col("u").alias("v")))
@@ -664,6 +673,8 @@ def _cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         raise RuntimeError(
             f"connected_components(star): edge set did not reach a "
             f"fixed point within {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixed point = stars around component minima: (u=min, v=member)
     members = edges.select(F.col("v").alias("node"),
                            F.col("u").alias("cluster_id"))

@@ -68,17 +68,37 @@ def _image_features(payload: bytes, dim: int) -> np.ndarray:
     return np.asarray(img, dtype="float64").ravel() / 255.0
 
 
-def _audio_features(payload: bytes, dim: int) -> np.ndarray:
-    """Real audio decode via the stdlib WAV parser (sources/wav.py —
-    no external codec needed): mono mixdown, then mean absolute
-    amplitude over ``dim`` equal time bins."""
-    from ..sources.wav import parse_wav
-    _, ch, arr = parse_wav(payload)
-    mono = arr.mean(axis=1) if ch > 1 else arr.ravel()
+def _binned_amplitude(mono: np.ndarray, dim: int) -> np.ndarray:
+    """Mean absolute amplitude over ``dim`` equal time bins."""
     if mono.size == 0:
         return np.zeros(dim)
     bins = np.array_split(np.abs(mono), dim)
     return np.array([b.mean() if b.size else 0.0 for b in bins])
+
+
+def _audio_features(payload: bytes, dim: int) -> np.ndarray:
+    """Real audio decode via the stdlib WAV parser (sources/wav.py —
+    no external codec needed): mono mixdown, then binned amplitude."""
+    from ..sources.wav import parse_wav
+    _, ch, arr = parse_wav(payload)
+    mono = arr.mean(axis=1) if ch > 1 else arr.ravel()
+    return _binned_amplitude(mono, dim)
+
+
+def _audio_features_soundfile(payload: bytes, dim: int) -> np.ndarray:
+    """Audio-beyond-WAV decode probe (FLAC/OGG/AIFF/...): the same
+    import-if-available pattern as the PIL image path. ``soundfile``
+    (libsndfile) normalizes to float in [-1, 1]; rescale to the
+    int16-peak convention of the stdlib path so both decoders feed
+    the same feature space (parity pinned in test_multimodal, skipped
+    when soundfile is absent — which it is in this sandbox)."""
+    import io
+
+    import soundfile as sf
+    data, _sr = sf.read(io.BytesIO(payload), dtype="float64",
+                        always_2d=True)
+    mono = data.mean(axis=1) * 32768.0
+    return _binned_amplitude(mono, dim)
 
 
 def extract_media_features(media: DataFrame, dim: int = 16,
@@ -87,10 +107,12 @@ def extract_media_features(media: DataFrame, dim: int = 16,
     array<double>). Vectorized mapInPandas over binary payloads.
 
     ``fake_decode=False`` decodes for REAL where a decoder exists:
-    'audio' payloads are WAV-parsed with the stdlib decoder
-    (sources/wav.py), 'image' payloads use PIL when importable; other
-    kinds (or image-without-PIL) raise NotImplementedError at this
-    seam — plug ffmpeg/torchaudio/etc. in here."""
+    'audio' RIFF payloads are WAV-parsed with the stdlib decoder
+    (sources/wav.py), non-WAV audio uses soundfile/libsndfile when
+    importable, 'image' payloads use PIL when importable; other kinds
+    (or audio/image without the optional lib) raise
+    NotImplementedError at this seam — plug ffmpeg/torchaudio/etc. in
+    here."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,7 +124,21 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                 feats = []
                 for kind, p in zip(pdf["kind"], pdf["payload"]):
                     if kind == "audio":
-                        feats.append(_audio_features(bytes(p), dim))
+                        raw = bytes(p)
+                        if raw[:4] == b"RIFF":
+                            feats.append(_audio_features(raw, dim))
+                        else:
+                            # non-WAV container: soundfile if present,
+                            # else the documented seam
+                            try:
+                                feats.append(
+                                    _audio_features_soundfile(raw, dim))
+                            except ImportError as exc:
+                                raise NotImplementedError(
+                                    "non-WAV audio decode requires "
+                                    "soundfile (libsndfile), absent "
+                                    "here; install it or plug a "
+                                    "decoder in at this seam") from exc
                     elif kind == "image":
                         try:
                             feats.append(_image_features(bytes(p), dim))

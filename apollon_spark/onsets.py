@@ -65,21 +65,28 @@ def entropy_odf(docs: DataFrame, cfg: FeatureConfig | None = None) -> DataFrame:
 # Peak picking (onsets.py:219-262) — stateful scan, exact semantics
 # ---------------------------------------------------------------------------
 
-def pick_peaks_series(vals: np.ndarray, n_after: int = 10, n_before: int = 10,
-                      alpha: float = 0.1, delta: float = 0.1) -> np.ndarray:
-    """FilterPeakPicker.detect parity: local max over the clip-indexed
-    window AND >= window mean + delta AND >= the recursive smoother
-    ``g[n+1] = max(val, alpha*g[n] + (1-alpha)*val)``.
+def peak_flag_series(vals: np.ndarray, n_after: int = 10, n_before: int = 10,
+                     alpha: float = 0.1, delta: float = 0.1
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-element FilterPeakPicker conditions: (cond12, cond3) bool
+    arrays. cond12 = local max over the clip-indexed window AND
+    >= window mean + delta; cond3 = the recursive smoother condition
+    ``g[n+1] = max(val, alpha*g[n] + (1-alpha)*val)`` (reference
+    onsets.py:246-262).
 
     Vectorized: the reference's clip-indexed window (onsets.py:246-248,
     ``np.take(..., mode='clip')`` semantics) repeats the edge value for
     out-of-range indices, which is exactly an edge-padded sliding
     window; conds 1-2 become one ``sliding_window_view`` max/mean.
-    Only cond 3's recursion stays a scalar loop (order-dependent)."""
+    Only cond 3's recursion stays a scalar loop (order-dependent).
+    Exposed flag-level (not just the peak indices) so the peak_scan
+    oracle gate can value-check every row of the scan, peaks and
+    non-peaks alike."""
     vals = np.asarray(vals, dtype="float64")
     n = len(vals)
     if n == 0:
-        return np.array([], dtype="int64")
+        z = np.array([], dtype=bool)
+        return z, z.copy()
     padded = np.pad(vals, (n_before, n_after), mode="edge")
     win = np.lib.stride_tricks.sliding_window_view(
         padded, n_before + n_after + 1)
@@ -92,7 +99,43 @@ def pick_peaks_series(vals: np.ndarray, n_after: int = 10, n_before: int = 10,
         foo = val if val > smoothed else smoothed
         cond3[i] = val >= foo
         g = foo
+    return cond12, cond3
+
+
+def pick_peaks_series(vals: np.ndarray, n_after: int = 10, n_before: int = 10,
+                      alpha: float = 0.1, delta: float = 0.1) -> np.ndarray:
+    """FilterPeakPicker.detect parity: indices where all three
+    conditions hold (see ``peak_flag_series``)."""
+    cond12, cond3 = peak_flag_series(vals, n_after, n_before, alpha, delta)
     return np.nonzero(cond12 & cond3)[0].astype("int64")
+
+
+def peak_flags(odf: DataFrame, order_col: str = "seg_idx",
+               value_col: str = "value", n_after: int = 10,
+               n_before: int = 10, alpha: float = 0.1,
+               delta: float = 0.1) -> DataFrame:
+    """All odf rows with the per-condition verdicts
+    (cond12, cond3, is_peak as int) — the flag-level view of the peak
+    scan. Same per-doc grouped pUDF shape as ``pick_peaks`` (the
+    recursion is order-dependent); the odf table is feature-scale, not
+    token-scale, so the groupBy shuffle is cheap at any SF."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        c12, c3 = peak_flag_series(pdf[value_col].to_numpy(),
+                                   n_after, n_before, alpha, delta)
+        pdf["cond12"] = c12.astype("int32")
+        pdf["cond3"] = c3.astype("int32")
+        pdf["is_peak"] = (c12 & c3).astype("int32")
+        return pdf
+
+    from pyspark.sql import types as T
+    schema = T.StructType(odf.schema.fields + [
+        T.StructField("cond12", T.IntegerType()),
+        T.StructField("cond3", T.IntegerType()),
+        T.StructField("is_peak", T.IntegerType()),
+    ])
+    return odf.groupBy("doc_id").applyInPandas(fn, schema)
 
 
 def pick_peaks(odf: DataFrame, n_after: int = 10, n_before: int = 10,

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""sf1-scale spot bench for the two most expensive r03 operators
+(VERDICT r03 #3a): dup_clusters (pair mining + connected components +
+canonical resolution) and pack_sequences, on the whale-skew generator
+(FIXTURES.md F1 — Zipf lengths + 65k+ whales), ~10x the per-round
+bench's doc count.
+
+Prints one JSON line with rows/sec, wall seconds, and the CC round
+count; results are recorded in SCALE.md's appendix.
+
+Env: SPARK_GRAFT_CPUS (default 32), SCALE_DOCS (default 4000 ~ sf1).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apollon_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_docs = int(os.environ.get("SCALE_DOCS", 4000))
+    spark = get_spark("apollon-scale-ops", cpus=cpus)
+    from pyspark.sql import functions as F
+
+    from apollon_spark.datagen import synth_docs
+    from apollon_spark.ml import dedup as dd
+    from apollon_spark.operators.packing import pack_sequences
+
+    docs = synth_docs(spark, n_docs, whales=True).cache()
+    total_docs = docs.count()
+    total_tokens = docs.agg(F.sum("n_tok")).first()[0]
+
+    out: dict = {"n_docs": total_docs, "n_tokens": int(total_tokens),
+                 "cpus": cpus}
+
+    # --- dup_clusters: minhash -> banded pairs -> CC -> resolve ------
+    t0 = time.time()
+    eligible = docs.where(F.col("n_tok") >= 3)
+    sigs = dd.minhash_docs(eligible, n_hashes=8, shingle_k=3)
+    pairs = dd.lsh_candidate_pairs(sigs, n_bands=4).cache()
+    n_pairs = pairs.count()
+    t_pairs = time.time() - t0
+
+    # instrument CC rounds via a counting wrapper around the loop's
+    # checkpoint count (cheap: re-run components standalone)
+    t0 = time.time()
+    verdicts = dd.resolve_dup_clusters(docs, pairs)
+    n_docs_out = verdicts.count()
+    n_kept = verdicts.agg(F.sum("keep")).first()[0]
+    t_resolve = time.time() - t0
+    out["dup_clusters"] = {
+        "pair_mining_sec": round(t_pairs, 2),
+        "n_pairs": n_pairs,
+        "resolve_sec": round(t_resolve, 2),
+        "docs_per_sec": round(total_docs / (t_pairs + t_resolve), 1),
+        "n_kept": int(n_kept), "n_docs_out": n_docs_out,
+    }
+    # round count: run the CC loop with a stats probe
+    t0 = time.time()
+    st: dict = {}
+    comp = dd.connected_components(
+        pairs.select(F.col("id_a").cast("string").alias("id_a"),
+                     F.col("id_b").cast("string").alias("id_b")),
+        stats=st)
+    n_nodes = comp.count()
+    out["dup_clusters"]["cc_nodes"] = n_nodes
+    out["dup_clusters"]["cc_rounds"] = st.get("rounds")
+    out["dup_clusters"]["cc_standalone_sec"] = round(time.time() - t0, 2)
+    pairs.unpersist()
+
+    # --- pack_sequences ---------------------------------------------
+    t0 = time.time()
+    packed = pack_sequences(docs, ctx_len=2048)
+    n_seqs = packed.count()
+    t_pack = time.time() - t0
+    out["pack_sequences"] = {
+        "sec": round(t_pack, 2),
+        "n_seqs": n_seqs,
+        "tokens_per_sec": round(total_tokens / t_pack, 0),
+        "docs_per_sec": round(total_docs / t_pack, 1),
+    }
+    docs.unpersist()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -179,3 +179,72 @@ def test_mixture_sample_oracle(spark, corpus):
     for s, w in weights.items():
         realized = sum(v for (src, _), v in got.items() if src == s) / n_src[s]
         assert abs(realized - w) < 0.35, (s, realized, w)
+
+
+def test_mixture_sample_expected_counts_and_clamp(spark):
+    """VERDICT r03 #6: expected copy counts across fractional weights
+    on a large population (binomial 4-sigma bounds), plus the
+    65535/65536 frac clamp edge: a weight of k + (1 - epsilon) must
+    threshold at 'ffff' — keeping ~65535/65536 of the stratum — and
+    NEVER overflow to a 5-hex-digit threshold that would corrupt the
+    4-char string comparison."""
+    from apollon_spark.ml.curation import mixture_sample
+    n_per = 3000
+    rows = [(f"d{s}_{i:05d}", [1], 1, s)
+            for s in ("a", "b", "c") for i in range(n_per)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    weights = {"a": 0.5, "b": 1.25, "c": 2.9999999}  # c hits the clamp
+    out = mixture_sample(df, weights).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    for s, w in weights.items():
+        fw = int(w)
+        frac = min(int((w - fw) * 65536), 65535) / 65536
+        mean = n_per * (fw + frac)
+        sd = (n_per * frac * (1 - frac)) ** 0.5
+        assert abs(got[s] - mean) <= 4 * sd + 1, (s, got[s], mean, sd)
+    # clamp edge exactly: threshold for c is 'ffff', so the only
+    # dropped bonus coins are md5 prefixes equal to 'ffff'
+    c_docs = [d for d, *_ in rows if d.startswith("dc")]
+    drop = sum(1 for d in c_docs if _coin(d, MIX_SALT)[:4] >= "ffff")
+    assert got["c"] == n_per * 3 - drop
+    # determinism: a second run is identical
+    out2 = mixture_sample(df, weights).groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in out2} == got
+
+
+def test_contamination_hash_packing_large_vocab(spark):
+    """VERDICT r03 #7: the xxhash64 packing path gives exact k-gram
+    contamination on token ids far beyond the base-256 precondition
+    (real tokenizer vocab sizes), k=5, against a pure-python
+    tuple-set oracle."""
+    rng = np.random.RandomState(17)
+    k = 5
+    docs_rows, bench_rows = [], []
+    for i in range(60):
+        n = int(rng.randint(0, 30))
+        toks = rng.randint(0, 200_000, n).tolist()   # >> 256
+        docs_rows.append((f"doc_{i:03d}", toks, n, "web"))
+    for i in range(10):
+        n = int(rng.randint(k, 20))
+        toks = rng.randint(0, 200_000, n).tolist()
+        bench_rows.append((f"bench_{i:02d}", toks, n, "eval"))
+    # guaranteed overlap: one corpus doc embeds a benchmark doc
+    docs_rows.append(("doc_copy", bench_rows[0][1] + [7, 7, 7],
+                      bench_rows[0][2] + 3, "web"))
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    docs = spark.createDataFrame(docs_rows, schema)
+    bench = spark.createDataFrame(bench_rows, schema)
+
+    got = {r["doc_id"]: r for r in
+           contamination_check(docs, bench, k=k, packing="hash").collect()}
+
+    bench_grams = set()
+    for _, toks, n, _ in bench_rows:
+        bench_grams |= {tuple(toks[i:i + k]) for i in range(n - k + 1)}
+    for d, toks, n, _ in docs_rows:
+        grams = {tuple(toks[i:i + k]) for i in range(max(n - k + 1, 0))}
+        r = got[d]
+        assert r["n_grams"] == len(grams), d
+        assert r["n_hit"] == len(grams & bench_grams), d
+    assert got["doc_copy"]["n_hit"] > 0

@@ -79,3 +79,64 @@ def test_fit_hmm_docs_spark(spark):
         assert np.all(np.diff(lam) >= 0)
         g = np.asarray([np.asarray(r) for r in row["gamma"]])
         np.testing.assert_allclose(g.sum(axis=1), 1.0, atol=1e-8)
+
+
+def test_estep_posteriors_match_full_pmf_smoother():
+    """estep_posteriors_m2 drops the log-factorial term (it cancels in
+    the row-max normalization); an independent smoother built on the
+    FULL Poisson pmf (math.lgamma) must give the same posteriors and
+    the same forward variables to float tolerance."""
+    import math
+    lam = (16.0, 128.0)
+    gam = ((0.75, 0.25), (0.375, 0.625))
+    dlt = (0.5, 0.5)
+    rng = np.random.default_rng(11)
+    x = np.concatenate([rng.poisson(16, 40), rng.poisson(128, 40)]).astype("int64")
+
+    btab = hmm.estep_b_table(lam)
+    a0, c, p0, p1 = hmm.estep_posteriors_m2(x, btab, gam, dlt)
+
+    # independent: full pmf, matrix ops, classic scaled forward-backward
+    lamv = np.array(lam)
+    logb = (x[:, None] * np.log(lamv) - lamv
+            - np.array([math.lgamma(int(v) + 1) for v in x])[:, None])
+    b = np.exp(logb)
+    G = np.array(gam)
+    T = x.size
+    alpha = np.empty((T, 2)); cs = np.empty(T)
+    phi = np.array(dlt) * b[0]
+    cs[0] = phi.sum(); alpha[0] = phi / cs[0]
+    for t in range(1, T):
+        phi = (alpha[t - 1] @ G) * b[t]
+        cs[t] = phi.sum(); alpha[t] = phi / cs[t]
+    beta = np.empty((T, 2)); beta[-1] = 1.0
+    for t in range(T - 2, -1, -1):
+        beta[t] = (G @ (b[t + 1] * beta[t + 1])) / cs[t + 1]
+    post = alpha * beta
+    post /= post.sum(axis=1, keepdims=True)
+
+    np.testing.assert_allclose(a0, alpha[:, 0], rtol=1e-9)
+    np.testing.assert_allclose(p0, post[:, 0], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(p1, post[:, 1], rtol=0, atol=1e-9)
+    # scale factors differ by exactly the per-step pmf normalizer:
+    # their log-sums differ by sum(bmax) = ll shift, posteriors don't.
+    assert np.isfinite(c).all() and (c > 0).all()
+
+
+def test_estep_docs_spark(spark):
+    """Spark stage emits one row per (doc, t) with normalized
+    posteriors."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "tokens": [[5, 20, 200, 190, 8], [100, 120, 3]],
+    })
+    out = (hmm.estep_docs(spark.createDataFrame(pdf), (16.0, 128.0),
+                          ((0.75, 0.25), (0.375, 0.625)), (0.5, 0.5))
+           .toPandas().sort_values(["doc_id", "t"]))
+    assert len(out) == 8
+    np.testing.assert_allclose(
+        out["post0"].to_numpy() + out["post1"].to_numpy(), 1.0, rtol=1e-12)
+    # high-count tokens must be attributed to the high-lambda state
+    hi = out[(out["doc_id"] == "a") & (out["t"] == 2)].iloc[0]
+    assert hi["post1"] > 0.99

@@ -93,3 +93,34 @@ def test_real_image_decode_parity(spark):
     for i, feat in enumerate(got["feature"]):
         np.testing.assert_allclose(
             np.asarray(feat), _image_features(payloads[i], 4), atol=0)
+
+
+def test_soundfile_decode_parity(spark):
+    """Audio-beyond-WAV probe (VERDICT r03 #8, mirrors the PIL
+    pattern): when soundfile/libsndfile is importable, a FLAC payload
+    decodes through the seam and a PCM16 WAV decoded by BOTH paths
+    (stdlib parser vs soundfile) yields the same binned features.
+    Skipped when soundfile is absent (this sandbox)."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import pandas as pd
+    from apollon_spark.ml.multimodal import (_audio_features,
+                                             _audio_features_soundfile)
+    rng = np.random.default_rng(7)
+    samples = rng.uniform(-0.9, 0.9, (400, 1))
+    wav = _wav_bytes(samples)
+    # same-signal parity between the two decoders (PCM16 is lossless)
+    np.testing.assert_allclose(_audio_features_soundfile(wav, 6),
+                               _audio_features(wav, 6), atol=1e-9)
+    # a non-WAV container goes through the soundfile branch end-to-end
+    buf = io.BytesIO()
+    pcm = np.clip(samples * 32768, -32768, 32767).astype("<i2")
+    sf.write(buf, pcm, 8000, format="FLAC")
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": ["f0"], "kind": "audio", "payload": [buf.getvalue()],
+        "mime": "audio/flac", "width": 0, "height": 0,
+        "duration_ms": 50}))
+    got = extract_media_features(media, dim=6, fake_decode=False) \
+        .toPandas()
+    assert len(got) == 1 and len(got["feature"].iloc[0]) == 6

@@ -105,3 +105,33 @@ def test_fused_equals_composed_causal(spark):
     comp = detect_onsets(docs, cfg, fused=False, **kw).toPandas() \
         .sort_values(["doc_id", "frame"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(fused, comp)
+
+
+def test_peak_flags_consistent_with_picker(spark):
+    """Flag-level scan (the peak_scan gate surface) agrees with
+    pick_peaks_series index-for-index per doc."""
+    from apollon_spark.onsets import peak_flags
+    rng = np.random.default_rng(9)
+    rows = []
+    series = {}
+    for d in range(6):
+        n = int(rng.integers(5, 40))
+        vals = (rng.random(n) * np.where(rng.random(n) < 0.1, 10, 1))
+        series[f"d{d}"] = vals
+        rows += [(f"d{d}", i, float(v)) for i, v in enumerate(vals)]
+    odf = spark.createDataFrame(rows, "doc_id string, win_id int, value double")
+    out = (peak_flags(odf, order_col="win_id", n_after=2, n_before=2,
+                      alpha=0.1, delta=0.05).toPandas()
+           .sort_values(["doc_id", "win_id"]))
+    for d, vals in series.items():
+        sub = out[out["doc_id"] == d]
+        want = pick_peaks_series(vals, n_after=2, n_before=2,
+                                 alpha=0.1, delta=0.05)
+        got = sub.loc[sub["is_peak"] == 1, "win_id"].to_numpy()
+        np.testing.assert_array_equal(got, want)
+        # flags reproduce the reference scan's conds row-for-row
+        from apollon_spark.onsets import peak_flag_series
+        c12, c3 = peak_flag_series(vals, n_after=2, n_before=2,
+                                   alpha=0.1, delta=0.05)
+        np.testing.assert_array_equal(sub["cond12"].to_numpy(), c12.astype(int))
+        np.testing.assert_array_equal(sub["cond3"].to_numpy(), c3.astype(int))
