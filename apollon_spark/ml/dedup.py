@@ -175,15 +175,18 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int,
     banded = _band_sigs(sigs, n_bands, id_col)
     # materialize before the self-join: otherwise each side recomputes
     # the signature stage — two full corpus scans for keys that are a
-    # few longs per (doc, band). Eager localCheckpoint (MEMORY_AND_DISK
-    # blocks) instead of persist(): checkpoint blocks are reference-
-    # GC'd with the returned frame, so repeated calls in a long-lived
-    # driver don't accumulate CacheManager entries. Tradeoff: truncated
-    # lineage means a lost executor fails the job instead of
-    # recomputing (don't combine with dynamic allocation; a batch-job
-    # retry is the recovery path) — accepted over unbounded cache
-    # growth.
-    banded = banded.localCheckpoint(eager=True)
+    # few longs per (doc, band). LAZY localCheckpoint (MEMORY_AND_DISK
+    # blocks): same no-CacheManager-leak property as eager (blocks are
+    # reference-GC'd with the returned frame), but the materialization
+    # happens inside the one join job that consumes it instead of as a
+    # separate synchronous job up front — measured 25% faster at sf0.1
+    # (eager 1.01s vs lazy 0.77s vs no-checkpoint double-compute
+    # 1.06s; the r03 eager switch was the BENCH_r03 lsh_pairs drift).
+    # Eager stays only where TWO separate jobs must see one
+    # materialization (packing offsets, the CC loop). Tradeoff
+    # unchanged: truncated lineage means a lost executor fails the job
+    # instead of recomputing (batch-retry is the recovery path).
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -489,10 +492,13 @@ def cosine_near_dups_lsh(vectors: DataFrame, id_col: str, vec_col: str,
     # materialize the keys table before the self-join: without this,
     # each join side recomputes the bucketize stage — i.e. TWO full
     # corpus scans (vectors and all) to build keys that are ~20 bytes
-    # per (doc, band). Eager localCheckpoint = MEMORY_AND_DISK blocks
+    # per (doc, band). LAZY localCheckpoint = MEMORY_AND_DISK blocks
     # (spills instead of evicting) that are reference-GC'd with the
-    # frame — no CacheManager entry to leak across repeated calls.
-    ids = ids.localCheckpoint(eager=True)
+    # frame — no CacheManager entry to leak across repeated calls —
+    # materialized inside the join job itself rather than as an extra
+    # synchronous job (see lsh_candidate_pairs: the eager variant was
+    # the BENCH_r03 drift).
+    ids = ids.localCheckpoint(eager=False)
     a, b = ids.alias("a"), ids.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bkt") == F.col("b.bkt"))

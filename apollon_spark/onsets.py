@@ -116,26 +116,44 @@ def peak_flags(odf: DataFrame, order_col: str = "seg_idx",
                delta: float = 0.1) -> DataFrame:
     """All odf rows with the per-condition verdicts
     (cond12, cond3, is_peak as int) — the flag-level view of the peak
-    scan. Same per-doc grouped pUDF shape as ``pick_peaks`` (the
-    recursion is order-dependent); the odf table is feature-scale, not
-    token-scale, so the groupBy shuffle is cheap at any SF."""
+    scan.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        c12, c3 = peak_flag_series(pdf[value_col].to_numpy(),
-                                   n_after, n_before, alpha, delta)
-        pdf["cond12"] = c12.astype("int32")
-        pdf["cond3"] = c3.astype("int32")
-        pdf["is_peak"] = (c12 & c3).astype("int32")
-        return pdf
+    Shape: gather each doc's ordered series into co-sorted arrays with
+    ONE groupBy, then run the scan over MANY docs per Arrow batch in a
+    single mapInPandas — NOT a per-doc applyInPandas (measured 12.5s
+    vs ~1s at sf0.1: per-group Arrow round-trips dominate when groups
+    are tiny). Per-doc state is the series itself (feature-scale,
+    bounded by n_tok/win — a 65k-token whale is a 16k-double array)."""
+    gathered = (odf.groupBy("doc_id")
+                .agg(F.sort_array(
+                    F.collect_list(F.struct(order_col, value_col)))
+                    .alias("_s"))
+                .select("doc_id",
+                        F.col(f"_s.{order_col}").alias("_ord"),
+                        F.col(f"_s.{value_col}").alias("_val")))
 
-    from pyspark.sql import types as T
-    schema = T.StructType(odf.schema.fields + [
-        T.StructField("cond12", T.IntegerType()),
-        T.StructField("cond3", T.IntegerType()),
-        T.StructField("is_peak", T.IntegerType()),
-    ])
-    return odf.groupBy("doc_id").applyInPandas(fn, schema)
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, ords, vals in zip(pdf["doc_id"], pdf["_ord"],
+                                          pdf["_val"]):
+                v = np.asarray(vals, dtype="float64")
+                c12, c3 = peak_flag_series(v, n_after, n_before,
+                                           alpha, delta)
+                out.append(pd.DataFrame({
+                    "doc_id": np.repeat(doc_id, v.size),
+                    order_col: np.asarray(ords, dtype="int64"),
+                    value_col: v,
+                    "cond12": c12.astype("int32"),
+                    "cond3": c3.astype("int32"),
+                    "is_peak": (c12 & c3).astype("int32")}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    order_type = odf.schema[order_col].dataType.simpleString()
+    return gathered.mapInPandas(
+        gen, f"doc_id string, {order_col} {order_type}, "
+             f"{value_col} double, cond12 int, cond3 int, is_peak int")
 
 
 def pick_peaks(odf: DataFrame, n_after: int = 10, n_before: int = 10,
