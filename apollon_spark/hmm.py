@@ -339,11 +339,18 @@ def estep_posteriors_m2(x: np.ndarray, btab: np.ndarray,
     return a0, c, n0 / s, n1 / s
 
 
-def estep_docs(docs: DataFrame, lam, gamma, delta) -> DataFrame:
+def estep_docs(docs: DataFrame, lam, gamma, delta,
+               spread: bool = True) -> DataFrame:
     """Per-doc E-step posteriors on fixed 2-state parameters — one
-    shuffle-free mapInPandas over (doc_id, tokens), long-form output
+    mapInPandas over (doc_id, tokens), long-form output
     (doc_id, t, alpha0, cscale, post0, post1). The b table is built
-    once on the driver and closed over (tiny: 256×2 doubles)."""
+    once on the driver and closed over (tiny: 256×2 doubles).
+
+    ``spread``: like ``fit_hmm_docs`` — the per-doc scan is CPU-bound
+    Python, so a compact input (one small parquet file = one scan
+    partition) would serialize every doc into a single task; spend one
+    round-robin shuffle when the input has fewer partitions than the
+    cluster (a no-op at real scale)."""
     btab = estep_b_table(lam)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -362,7 +369,11 @@ def estep_docs(docs: DataFrame, lam, gamma, delta) -> DataFrame:
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return docs.select("doc_id", "tokens").mapInPandas(
+    from .session import spread_compact
+    src = docs.select("doc_id", "tokens")
+    if spread:
+        src = spread_compact(src)
+    return src.mapInPandas(
         gen, "doc_id string, t int, alpha0 double, cscale double, "
              "post0 double, post1 double")
 

