@@ -175,6 +175,8 @@ def main() -> None:
     sep = scaling.get("eff_separate_hosts")
     sol = scaling.get("thr_shard_solo")
     n1 = scaling.get("thr_n")
+    n_runs = len(r1.get("feature_runs_sec", [])) or \
+        int(os.environ.get("BENCH_RUNS", 4))
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -182,9 +184,10 @@ North rule: >=0.8 throughput-scaling efficiency from N to 4N
 executors, job shipped via ``spark-submit --py-files``. Workload:
 end-to-end feature extraction (synthetic F1 docs table, {n_docs}
 docs, Zipf lengths incl. 1% whales; framing 512/256, full spectral
-battery; whales via halo-split chunk exchange). Run policy: best-of-3
-on cached input, per-run times reported (this box shows random
-multi-second JVM GC stalls).
+battery; whales via halo-split chunk exchange). Run policy:
+best-of-{n_runs} on cached input (``BENCH_RUNS``), per-run times
+reported (this box shows random multi-second JVM GC stalls; r04 runs
+at N=8 because consecutive same-config runs spread 2-4x).
 
 ## 1. MEASURED: real standalone cluster on this host
 
