@@ -643,6 +643,33 @@ def _q_ann_rerank(spark, sf_dir):
             .select("q_id", "id", F.round("sim", 6).alias("sim")))
 
 
+def _q_battery_paths(spark, sf_dir):
+    """Registry consolidation (r04, 50-gate cap): the fast-path and
+    halo-split batteries in ONE path-tagged gate. Both pipelines still
+    execute in full and value-check against the same time-domain SQL
+    (split == unsplit is bit-equal, pytest-proven, so the oracle is
+    the battery SQL twice with path tags). Bench times the halves
+    separately."""
+    fast = _q_battery_time(spark, sf_dir) \
+        .select(F.lit("fast").alias("path"), "*")
+    split = _q_features_split(spark, sf_dir) \
+        .select(F.lit("split").alias("path"), "*")
+    return fast.unionByName(split)
+
+
+def _q_dup_passages(spark, sf_dir):
+    """Exact duplicate-passage detection (fixed-k variant of Lee et
+    al. ACL'22 exact substring dedup): every position whose 8-token
+    window content appears in >= 2 distinct docs, with the content's
+    corpus doc- and occurrence-counts. md5 content keys are
+    byte-identical in Spark and DuckDB, so the whole operator —
+    window explosion, corpus aggregate, span join — value-oracles."""
+    from apollon_spark.ml.dedup import duplicate_passage_spans
+    docs = _docs(spark, sf_dir)
+    return duplicate_passage_spans(docs, k=8, key="md5", min_docs=2) \
+        .select("doc_id", "pos", "n_docs", "n_occur")
+
+
 def _q_cosine_neardup_all(spark, sf_dir):
     """Registry consolidation (r04, 50-gate cap): brute-force and
     LSH-mined embedding near-dup in ONE method-tagged gate — same
@@ -945,10 +972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locf_limit + backfill_clip -> locf, rolling_median
     -> rolling_stats, standardize+smooth_stat -> normalize_stats,
     reassembly -> frames_agg, delay_embed -> lag_delta, simhash ->
-    minhash; r04: cosine_neardup_lsh -> cosine_neardup and
-    ann_rerank -> ann_lsh, method-tagged unions freeing the two slots
-    the new peak_scan/hmm_estep gates take; per-option coverage stays
-    in pytest and the bench still times merged halves separately).
+    minhash; r04: cosine_neardup_lsh -> cosine_neardup,
+    ann_rerank -> ann_lsh, and features_split -> battery_time,
+    method/path-tagged unions freeing the slots the new
+    peak_scan/hmm_estep/dup_passages gates take; per-option coverage
+    stays in pytest and the bench still times merged halves
+    separately).
     New gates and any that missed an evaluation window in a previous
     round lead the dict, value-oracled gates next, rows-only
     (non-SQL-expressible, pytest-verified) last."""
@@ -956,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newest gates + any that missed an evaluation window — first
         "peak_scan": _q_peak_scan,
         "hmm_estep": _q_hmm_estep,
+        "dup_passages": _q_dup_passages,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "sample_stratified": _q_sample_stratified,
@@ -972,7 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding": _q_sliding,
         "segment_meta": _q_segment_meta,
         "seg_energy": _q_seg_energy,
-        "battery_time": _q_battery_time,
+        "battery_time": _q_battery_paths,
         "acf_profile": _q_acf_profile,
         "scalar_funcs": _q_scalar_funcs,
         "window_vectors": _q_window_vectors,
@@ -1001,7 +1031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup_all,
         "extend_energy": _q_extend_energy,
         "ann_lsh": _q_ann_all,
-        "features_split": _q_features_split,
         # rows-only (non-SQL-expressible; pytest parity instead)
         "features_battery": _q_features_battery,
         "hmm": _q_hmm,
@@ -1847,11 +1876,14 @@ SELECT doc_id, lag,
          AS acf_pearson
 FROM pear
 """,
-        "battery_time": _battery_time_sql(),
-        # the halo-SPLIT battery projects the same SQL-expressible
-        # time-domain columns (split==unsplit is bit-equal, pytest),
-        # so the identical SQL value-oracles the split pipeline too
-        "features_split": _battery_time_sql(),
+        # r04 consolidation: fast + halo-split batteries path-tagged
+        # in one gate; split==unsplit is bit-equal (pytest), so the
+        # identical battery SQL value-oracles both branches
+        "battery_time": f"""
+SELECT 'fast' AS path, * FROM ({_battery_time_sql()})
+UNION ALL
+SELECT 'split' AS path, * FROM ({_battery_time_sql()})
+""",
         "causal_energy": f"""
 {_WF},
 segs AS (
@@ -2016,6 +2048,32 @@ FROM ranked WHERE rn = 1
         "dup_clusters": _dup_clusters_sql(),
         "peak_scan": _peak_scan_sql(),
         "hmm_estep": _hmm_estep_sql(),
+        # exact duplicate-passage spans: md5 content keys are
+        # byte-identical cross-engine; DuckDB range() end is exclusive
+        # where Spark sequence() is inclusive, hence the +1
+        "dup_passages": f"""
+{_W},
+keys AS (
+  SELECT doc_id,
+         list_transform(range(0, n_tok - 8 + 1),
+           i -> md5(array_to_string(list_transform(tokens[i + 1 : i + 8],
+                x -> CAST(x AS VARCHAR)), ','))) AS ks
+  FROM docs WHERE n_tok >= 8
+),
+p AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ks, 1) - 1 AS INT) AS pos,
+         unnest(ks) AS pkey
+  FROM keys
+),
+d AS (
+  SELECT pkey, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occur
+  FROM p GROUP BY pkey HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT p.doc_id, p.pos, d.n_docs, d.n_occur
+FROM p JOIN d USING (pkey)
+""",
         # r04 consolidation: topk cut + rank-free rerank cut union
         # under one method-tagged gate (rerank rows carry rank 0)
         "ann_lsh": f"""

@@ -26,7 +26,8 @@ def main(argv: list[str] | None = None) -> int:
                              "position", "export", "nonlinear",
                              "dedup", "neardup", "ann", "textstats",
                              "scrub", "ingest", "stream-neardup",
-                             "pack", "sample", "contaminate", "cluster"])
+                             "pack", "sample", "contaminate", "cluster",
+                             "passages"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-perseg", type=int, default=512)
@@ -92,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="cluster: path of a pre-mined (id_a, id_b) "
                          "pair table (default: mine MinHash-LSH pairs "
                          "from --input)")
+    ap.add_argument("--passage-k", type=int, default=16,
+                    help="passages: token-window length for exact "
+                         "duplicate-passage detection")
+    ap.add_argument("--min-docs", type=int, default=2,
+                    help="passages: min distinct docs sharing a window "
+                         "for it to count as duplicated")
     ap.add_argument("--cc-algorithm", choices=["propagate", "star"],
                     default="propagate",
                     help="cluster: connected-components algorithm — "
@@ -196,6 +203,21 @@ def main(argv: list[str] | None = None) -> int:
         n_docs, n_keep = written.select(
             F.count("*"), F.sum("keep")).first()
         print(json.dumps({"docs": n_docs, "kept": int(n_keep)}))
+    elif args.stage == "passages":
+        # exact duplicate-passage spans (fixed-k substring dedup):
+        # every position whose k-token window content appears in
+        # >= --min-docs distinct docs
+        from pyspark.sql import functions as F
+
+        from .ml.dedup import duplicate_passage_spans
+        out = duplicate_passage_spans(docs, k=args.passage_k,
+                                      min_docs=args.min_docs)
+        storage.write_table(out, args.output)
+        written = storage.read_table(spark, args.output)
+        n_spans, n_docs_hit = written.select(
+            F.count("*"), F.countDistinct("doc_id")).first()
+        print(json.dumps({"span_starts": n_spans,
+                          "docs_hit": int(n_docs_hit or 0)}))
     elif args.stage == "ann":
         # LSH top-k: input = vector table (--id-col, --vec-col; defaults
         # vec_id/embedding); queries = the first --n-queries vectors

@@ -142,7 +142,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "ann_lsh", "ivf_ann", "lsh_pairs", "battery_time",
              "bmu_fixed", "hmm", "ann_rerank",
              "pack_sequences", "contamination", "sample_stratified",
-             "vocab_topk", "dup_clusters", "peak_scan", "hmm_estep"]
+             "vocab_topk", "dup_clusters", "peak_scan", "hmm_estep",
+             "dup_passages"]
     qs = entrymod.queries()
     # the registry consolidated near-duplicate gates (asof strategies
     # r02; cosine_neardup_lsh -> cosine_neardup and ann_rerank ->
@@ -154,7 +155,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           "asof_bucketed": entrymod._q_asof_bucketed,
           "cosine_neardup_lsh": entrymod._q_cosine_neardup_lsh,
           "ann_rerank": entrymod._q_ann_rerank,
-          "ann_lsh": entrymod._q_ann_lsh}
+          "ann_lsh": entrymod._q_ann_lsh,
+          "battery_time": entrymod._q_battery_time,
+          "features_split": entrymod._q_features_split}
     # (measured r03: warm-caching the shared input scans does NOT help
     # at this SF — the ~2s gates were single-task-UDF-bound on the
     # one-partition compact input, fixed by spread_compact in
@@ -220,7 +223,7 @@ def main() -> None:
     # entries in the old suites, so including the merged timing only
     # under-counts our side (conservative).
     R03_GROWN = {"docs_profile", "locf", "lag_delta", "text_profile"}
-    R04_ADDED = {"peak_scan", "hmm_estep"}
+    R04_ADDED = {"peak_scan", "hmm_estep", "dup_passages"}
     r01_subset = round(sum(v for k, v in queries.items()
                            if k not in R02_ADDED | R03_ADDED | R03_GROWN
                            | R04_ADDED), 3)

@@ -370,3 +370,49 @@ def test_resolve_dup_clusters_canonical(spark):
     assert out["solo"]["cluster_id"] == "solo"
     assert out["solo"]["cluster_size"] == 1
     assert out["solo"]["keep"] == 1
+
+
+def test_duplicate_passages_exact(spark):
+    """Fixed-k duplicate-passage detection vs a pure-python oracle:
+    docs sharing an 8-token run are flagged at exactly the right
+    positions; the xxhash64 key path returns the same spans as the
+    oracle-able md5 path."""
+    from apollon_spark.ml.dedup import (duplicate_passage_spans,
+                                        duplicate_passages)
+    shared = [9, 8, 7, 6, 5, 4, 3, 2, 1, 0]      # 10-token shared run
+    rows = [
+        ("a", [11, 12] + shared + [13], 13),
+        ("b", shared + [14, 15, 16], 13),
+        ("c", [17, 18, 19, 20, 21, 22, 23, 24, 25], 9),   # no overlap
+        ("d", [9, 8, 7, 6, 5, 4, 3], 7),          # shorter than k
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, n, "s") for d, t, n in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    k = 8
+
+    def py_spans():
+        from collections import defaultdict
+        occ = defaultdict(list)
+        for d, t, n in rows:
+            for i in range(n - k + 1):
+                occ[tuple(t[i:i + k])].append((d, i))
+        out = set()
+        for gram, hits in occ.items():
+            if len({d for d, _ in hits}) >= 2:
+                for d, i in hits:
+                    out.add((d, i, len({x for x, _ in hits}), len(hits)))
+        return out
+
+    want = py_spans()
+    assert want, "fixture must contain shared passages"
+    for key in ("md5", "hash"):
+        got = {(r["doc_id"], r["pos"], r["n_docs"], r["n_occur"])
+               for r in duplicate_passage_spans(docs, k=k, key=key)
+               .collect()}
+        assert got == want, key
+    # the corpus-level table agrees on totals
+    tab = duplicate_passages(docs, k=k, key="md5").collect()
+    assert sum(r["n_occur"] for r in tab) == len(want)
+    # a 10-token shared run at k=8 yields 3 duplicated window contents
+    assert len(tab) == 3
