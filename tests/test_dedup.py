@@ -416,3 +416,52 @@ def test_duplicate_passages_exact(spark):
     assert sum(r["n_occur"] for r in tab) == len(want)
     # a 10-token shared run at k=8 yields 3 duplicated window contents
     assert len(tab) == 3
+
+
+def test_connected_components_star_random_graphs(spark):
+    """Randomized equivalence: on seeded Erdos-Renyi-ish graphs the
+    star and propagate algorithms return identical labelings (and both
+    match a python union-find oracle)."""
+    from apollon_spark.ml.dedup import connected_components
+
+    def uf_oracle(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # relabel every node to its component min
+        comp = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(members)
+                for members in comp.values() for n in members}
+
+    rng = np.random.RandomState(23)
+    for trial in range(4):
+        n = int(rng.randint(20, 120))
+        m = int(rng.randint(n // 2, 3 * n))
+        pairs = []
+        for _ in range(m):
+            a, b = rng.randint(0, n, 2)
+            if a != b:
+                pairs.append((f"n{min(a,b):04d}", f"n{max(a,b):04d}"))
+        if not pairs:
+            continue
+        df = spark.createDataFrame(pairs, "id_a string, id_b string")
+        prop = {r["node"]: r["cluster_id"]
+                for r in connected_components(df).collect()}
+        star = {r["node"]: r["cluster_id"]
+                for r in connected_components(df, algorithm="star")
+                .collect()}
+        want = uf_oracle(pairs)
+        assert prop == want, f"trial {trial} propagate"
+        assert star == want, f"trial {trial} star"
