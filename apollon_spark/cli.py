@@ -93,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="cluster: path of a pre-mined (id_a, id_b) "
                          "pair table (default: mine MinHash-LSH pairs "
                          "from --input)")
+    ap.add_argument("--resume-buckets", type=int, default=0,
+                    help="hmm/textstats/scrub: run as a bucketed "
+                         "resumable job (per-partition lineage + "
+                         "idempotent markers, like the features "
+                         "stage); 0 = plain single write. Output "
+                         "lands under <output>/<stage>/bucket=K")
     ap.add_argument("--passage-k", type=int, default=16,
                     help="passages: token-window length for exact "
                          "duplicate-passage detection")
@@ -142,6 +148,17 @@ def main(argv: list[str] | None = None) -> int:
         storage.write_table(detect_onsets(docs, cfg), args.output)
     elif args.stage == "hmm":
         from .hmm import fit_hmm_docs
+        if args.resume_buckets > 0:
+            # per-doc EM is the most CPU-expensive per byte stage —
+            # exactly where mid-run resume pays at corpus scale
+            from .pipeline import run_bucketed_job
+            summary = run_bucketed_job(
+                spark, docs, args.output,
+                transform=lambda part: fit_hmm_docs(part, args.m_states),
+                params={"stage": "hmm", "m_states": args.m_states},
+                n_buckets=args.resume_buckets, job_id="hmm")
+            print(json.dumps(summary))
+            return 0
         storage.write_table(fit_hmm_docs(docs, args.m_states), args.output)
     elif args.stage == "nonlinear":
         from .nonlinear import extract_nonlinear
@@ -233,9 +250,25 @@ def main(argv: list[str] | None = None) -> int:
         storage.write_table(out, args.output)
     elif args.stage == "textstats":
         from .ml.textstats import text_profile
+        if args.resume_buckets > 0:
+            from .pipeline import run_bucketed_job
+            print(json.dumps(run_bucketed_job(
+                spark, docs, args.output,
+                transform=lambda part: text_profile(part, args.text_col),
+                params={"stage": "textstats", "text_col": args.text_col},
+                n_buckets=args.resume_buckets, job_id="textstats")))
+            return 0
         storage.write_table(text_profile(docs, args.text_col), args.output)
     elif args.stage == "scrub":
         from .ml.textstats import scrub_text
+        if args.resume_buckets > 0:
+            from .pipeline import run_bucketed_job
+            print(json.dumps(run_bucketed_job(
+                spark, docs, args.output,
+                transform=lambda part: scrub_text(part, args.text_col),
+                params={"stage": "scrub", "text_col": args.text_col},
+                n_buckets=args.resume_buckets, job_id="scrub")))
+            return 0
         storage.write_table(scrub_text(docs, args.text_col), args.output)
     elif args.stage == "ingest":
         # raw documents table -> canonical tokenized docs table, in

@@ -1,17 +1,24 @@
-"""End-to-end feature-extraction job with per-partition lineage,
-metrics, and idempotent resume (north rule, SURVEY §7.1 M6).
+"""Bucketed jobs with per-partition lineage, metrics, and idempotent
+resume (north rule, SURVEY §7.1 M6).
 
 Work is partitioned into ``n_buckets`` deterministic doc_id-hash
 buckets (independent of Spark's physical partitioning, so resume
 semantics survive cluster-size changes). Each bucket:
 
   1. is skipped instantly if its ``_done/bucket=K`` marker exists,
-  2. otherwise runs the feature pipeline on its doc slice,
-  3. writes output parquet under ``out/features/bucket=K/``,
+  2. otherwise runs the stage's transform on its doc slice,
+  3. writes output parquet under ``out/<job_id>/bucket=K/``,
   4. emits a lineage+metrics record (rows in/out, output checksum,
      wall seconds, params hash) under ``out/_lineage/``,
   5. commits the marker last — a crash before the marker reruns the
      bucket; the rerun overwrites the same paths (idempotent).
+
+``run_bucketed_job`` is the generic harness — valid for any PER-DOC
+transform (feature battery, HMM fits, E-step decode, text profiling,
+scrubbing: output depends only on the bucket's own docs). It is NOT
+valid for cross-doc stages (packing offsets, corpus dedup aggregates,
+duplicate passages): their outputs depend on every bucket at once, so
+they resume at job granularity instead.
 
 On a real cluster the same layout works on any shared filesystem /
 object store; markers are zero-byte objects.
@@ -23,42 +30,47 @@ import json
 import os
 import time
 from dataclasses import asdict
+from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.framing import FramingParams
 from .spectral import FeatureConfig, extract_features
 
 
-def _params_hash(cfg: FeatureConfig) -> str:
-    blob = json.dumps(
-        {**asdict(cfg), "framing": asdict(cfg.framing)},
-        sort_keys=True, default=str)
+def _params_hash(params: dict) -> str:
+    blob = json.dumps(params, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
-def _checksum(df: DataFrame) -> tuple[int, float]:
-    """(row count, order-insensitive value checksum) of a feature
-    output — one cheap aggregate over the written files."""
-    agg = df.select(
-        F.count("*").alias("n"),
-        F.sum(F.crc32(F.concat_ws(
-            ",", F.col("doc_id"), F.col("seg_idx"),
-            F.round("energy", 6), F.round("centroid", 6)))).alias("cs"),
-    ).first()
-    return int(agg["n"]), float(agg["cs"] or 0.0)
+def _feature_checksum_col() -> Column:
+    return F.crc32(F.concat_ws(
+        ",", F.col("doc_id"), F.col("seg_idx"),
+        F.round("energy", 6), F.round("centroid", 6)))
 
 
-def run_feature_job(spark: SparkSession, docs: DataFrame, out_dir: str,
-                    cfg: FeatureConfig | None = None, n_buckets: int = 8,
-                    split: bool = False, job_id: str = "features") -> dict:
-    """Run (or resume) the bucketed feature-extraction job.
+def _generic_checksum_col(df: DataFrame) -> Column:
+    """Order-insensitive value checksum over every column: crc32 of
+    the canonical JSON row. Deterministic within an engine version —
+    lineage checksums compare run-to-run, not cross-engine."""
+    return F.crc32(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
 
-    Returns a summary dict {buckets_done, buckets_skipped, rows_out}.
+
+def run_bucketed_job(spark: SparkSession, docs: DataFrame, out_dir: str,
+                     transform: Callable[[DataFrame], DataFrame],
+                     params: dict, n_buckets: int = 8,
+                     job_id: str = "job",
+                     checksum_col: Callable[[DataFrame], Column]
+                     | None = None) -> dict:
+    """Run (or resume) a bucketed per-doc job; see module docstring.
+
+    Returns {buckets_done, buckets_skipped, rows_out, params_hash}.
+    ``params`` must capture everything that changes the output — the
+    marker is only honored when its recorded hash matches.
     """
-    cfg = cfg or FeatureConfig(framing=FramingParams(512, 256))
-    phash = _params_hash(cfg)
+    phash = _params_hash(params)
+    checksum_col = checksum_col or _generic_checksum_col
     done_dir = os.path.join(out_dir, "_done")
     lineage_dir = os.path.join(out_dir, "_lineage")
     os.makedirs(done_dir, exist_ok=True)
@@ -71,7 +83,7 @@ def run_feature_job(spark: SparkSession, docs: DataFrame, out_dir: str,
 
     for k in range(n_buckets):
         marker = os.path.join(done_dir, f"bucket={k}")
-        out_path = os.path.join(out_dir, "features", f"bucket={k}")
+        out_path = os.path.join(out_dir, job_id, f"bucket={k}")
         if os.path.exists(marker):
             # skip ONLY if the marker was committed under the same
             # params — a marker from a different cfg means the parquet
@@ -83,10 +95,13 @@ def run_feature_job(spark: SparkSession, docs: DataFrame, out_dir: str,
         t0 = time.time()
         part = docs.where(F.col("_bucket") == k).drop("_bucket")
         rows_in = part.count()
-        feats = extract_features(part, cfg, split=split)
-        feats.write.mode("overwrite").parquet(out_path)
+        out = transform(part)
+        out.write.mode("overwrite").parquet(out_path)
         written = spark.read.parquet(out_path)
-        rows_out, checksum = _checksum(written)
+        agg = written.select(
+            F.count("*").alias("n"),
+            F.sum(checksum_col(written)).alias("cs")).first()
+        rows_out, checksum = int(agg["n"]), float(agg["cs"] or 0.0)
         record = {
             "job_id": job_id, "bucket": k, "params_hash": phash,
             "rows_in": rows_in, "rows_out": rows_out,
@@ -101,6 +116,21 @@ def run_feature_job(spark: SparkSession, docs: DataFrame, out_dir: str,
         summary["buckets_done"] += 1
         summary["rows_out"] += rows_out
     return summary
+
+
+def run_feature_job(spark: SparkSession, docs: DataFrame, out_dir: str,
+                    cfg: FeatureConfig | None = None, n_buckets: int = 8,
+                    split: bool = False, job_id: str = "features") -> dict:
+    """Run (or resume) the bucketed feature-extraction job — the
+    feature-battery instantiation of ``run_bucketed_job`` (same
+    marker/lineage layout and params-hash semantics as before)."""
+    cfg = cfg or FeatureConfig(framing=FramingParams(512, 256))
+    params = {**asdict(cfg), "framing": asdict(cfg.framing)}
+    return run_bucketed_job(
+        spark, docs, out_dir,
+        transform=lambda part: extract_features(part, cfg, split=split),
+        params=params, n_buckets=n_buckets, job_id=job_id,
+        checksum_col=lambda _df: _feature_checksum_col())
 
 
 def read_lineage(out_dir: str) -> list[dict]:

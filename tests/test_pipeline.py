@@ -48,3 +48,38 @@ def test_run_and_resume(spark, tmp_path):
     assert s4["buckets_done"] == 4 and s4["buckets_skipped"] == 0
     assert all(r["params_hash"] == s4["params_hash"]
                for r in read_lineage(out))
+
+
+def test_generic_bucketed_job_resume(spark, tmp_path):
+    """run_bucketed_job (the generalized harness behind the features
+    stage) gives any per-doc transform the same marker/lineage/resume
+    contract — exercised here with the text-profile transform."""
+    import pandas as pd
+
+    from apollon_spark.ml.textstats import text_profile
+    from apollon_spark.pipeline import read_lineage, run_bucketed_job
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(12)],
+        "text": [f"some text number {i} with words" for i in range(12)],
+    }))
+    out = str(tmp_path / "tp")
+    params = {"stage": "textstats", "text_col": "text"}
+    tf = lambda part: text_profile(part)  # noqa: E731
+
+    s1 = run_bucketed_job(spark, docs, out, tf, params,
+                          n_buckets=3, job_id="textstats")
+    assert s1["buckets_done"] == 3 and s1["rows_out"] == 12
+    lineage = read_lineage(out)
+    assert len(lineage) == 3
+    assert sum(r["rows_in"] for r in lineage) == 12
+    # resume: nothing reruns
+    s2 = run_bucketed_job(spark, docs, out, tf, params,
+                          n_buckets=3, job_id="textstats")
+    assert s2["buckets_done"] == 0 and s2["buckets_skipped"] == 3
+    # params change invalidates every marker
+    s3 = run_bucketed_job(spark, docs, out, tf, {**params, "v": 2},
+                          n_buckets=3, job_id="textstats")
+    assert s3["buckets_done"] == 3 and s3["buckets_skipped"] == 0
+    # output is readable as one partitioned dataset
+    got = spark.read.parquet(out + "/textstats").count()
+    assert got == 12
