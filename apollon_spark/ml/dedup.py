@@ -455,6 +455,13 @@ def _doc_passages(docs: DataFrame, k: int, key: str) -> DataFrame:
                     .alias("pos", "pkey")))
 
 
+def _dup_table(passages: DataFrame, min_docs: int) -> DataFrame:
+    return (passages.groupBy("pkey")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occur"))
+            .where(F.col("n_docs") >= min_docs))
+
+
 def duplicate_passages(docs: DataFrame, k: int = 16, key: str = "hash",
                        min_docs: int = 2) -> DataFrame:
     """Corpus-wide duplicated-passage table: (pkey, n_docs, n_occur)
@@ -466,11 +473,7 @@ def duplicate_passages(docs: DataFrame, k: int = 16, key: str = "hash",
     the groupBy(pkey) combines map-side and its output is bounded by
     the number of DISTINCT duplicated contents, which on real corpora
     is orders of magnitude below the window count."""
-    return (_doc_passages(docs, k, key)
-            .groupBy("pkey")
-            .agg(F.countDistinct("doc_id").alias("n_docs"),
-                 F.count("*").alias("n_occur"))
-            .where(F.col("n_docs") >= min_docs))
+    return _dup_table(_doc_passages(docs, k, key), min_docs)
 
 
 def duplicate_passage_spans(docs: DataFrame, k: int = 16,
@@ -481,13 +484,16 @@ def duplicate_passage_spans(docs: DataFrame, k: int = 16,
     shared with >= ``min_docs``-1 other docs. Consecutive positions
     form the maximal spans a trainer masks or cuts.
 
-    Scale: one equi-join of the O(tokens) window table against the
-    (much smaller) duplicated-content table on the content key —
-    co-partitioned with the groupBy that produced it, so the join
-    reuses the same hash exchange under AQE."""
-    dup = duplicate_passages(docs, k, key, min_docs)
-    return (_doc_passages(docs, k, key)
-            .join(dup, "pkey")
+    Scale: the window table feeds BOTH the corpus aggregate and the
+    span join, so it is pinned once with a lazy localCheckpoint (the
+    lsh_candidate_pairs pattern: leak-free reference-GC'd blocks,
+    materialized inside the first consuming job) — without it each
+    consumer re-runs the full window explosion and key hashing, i.e.
+    two corpus scans. The join against the (much smaller)
+    duplicated-content table is a pkey equi-join co-partitioned with
+    the groupBy that produced it."""
+    p = _doc_passages(docs, k, key).localCheckpoint(eager=False)
+    return (p.join(_dup_table(p, min_docs), "pkey")
             .select("doc_id", "pos", "n_docs", "n_occur"))
 
 

@@ -172,3 +172,15 @@ def test_packing_offsets_join_colocated_on_bucketed_docs(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS pack_bdocs")
+
+
+def test_passage_spans_single_materialization(spark):
+    """duplicate_passage_spans consumes the window table twice (corpus
+    aggregate + span join); the lazy checkpoint must make both sides
+    read ONE materialization — the plan shows the shared ExistingRDD
+    scan and NOT two window-explosion Generates."""
+    from apollon_spark.ml.dedup import duplicate_passage_spans
+    docs = synth_docs(spark, 16, whales=False)
+    plan = _plan(duplicate_passage_spans(docs, k=8, key="hash"))
+    assert "ExistingRDD" in plan, plan
+    assert "Generate" not in plan, plan       # explosion behind the pin
