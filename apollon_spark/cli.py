@@ -27,7 +27,7 @@ def main(argv: list[str] | None = None) -> int:
                              "dedup", "neardup", "ann", "textstats",
                              "scrub", "ingest", "stream-neardup",
                              "pack", "sample", "contaminate", "cluster",
-                             "passages"])
+                             "passages", "stream-passages"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-perseg", type=int, default=512)
@@ -122,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     id_col = args.id_col or ("vec_id" if args.stage == "ann" else "doc_id")
 
     spark = get_spark(f"apollon-{args.stage}")
-    if args.stage in ("ingest", "stream-neardup"):
+    if args.stage in ("ingest", "stream-neardup", "stream-passages"):
         docs = None       # these stages interpret --input themselves
     elif args.input_format == "wav":
         from .sources.wav import read_wav_docs
@@ -306,6 +306,21 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             n_pairs = 0       # no near-dups -> no readable output yet
         print(json.dumps({"pairs": n_pairs}))
+    elif args.stage == "stream-passages":
+        from .streaming import stream_duplicate_passages
+        if not (args.checkpoint and args.store):
+            raise SystemExit("stream-passages requires --checkpoint "
+                             "and --store")
+        q = stream_duplicate_passages(
+            spark, args.input, args.store, args.output, args.checkpoint,
+            k=args.passage_k)
+        q.awaitTermination()
+        try:
+            n_spans = (spark.read.parquet(args.output)
+                       .select("doc_id", "pos").distinct().count())
+        except Exception:
+            n_spans = 0       # no duplicated passages yet
+        print(json.dumps({"span_starts": n_spans}))
     elif args.stage == "pack":
         # concat-and-chunk the tokenized docs table into fixed-context
         # training sequences (exact corpus round-trip; test_packing)

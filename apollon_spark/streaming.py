@@ -329,3 +329,122 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def prefix_store_read(spark, store_path: str, prefixes, epoch_id: int):
+    """Partition-pruned read of the prefix-partitioned passage store:
+    only the ``pfx`` partitions present in the batch are scanned (and
+    the current epoch's own partial attempt is excluded). Same static-
+    pruning contract as ``banded_store_read``. Returns None before the
+    store exists."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark.sql import functions as F
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:
+        return None
+    return store.where(F.col("pfx").isin([int(p) for p in prefixes])
+                       & (F.col("epoch") != epoch_id))
+
+
+def stream_duplicate_passages(spark, src_path: str, store_path: str,
+                              spans_path: str, checkpoint: str,
+                              k: int = 16, n_prefixes: int = 64,
+                              trigger_once: bool = True):
+    """Streaming exact duplicate-passage detection: every arriving
+    doc's length-``k`` token windows are checked against ALL
+    previously seen windows, and its own windows join the store — the
+    streaming face of ``ml.dedup.duplicate_passage_spans`` for the
+    crawl-ingestion shape (boilerplate/license/quote spans recurring
+    across an unbounded doc stream).
+
+    Per micro-batch (``foreachBatch``):
+
+      1. (doc_id, pos, pkey) windows for the batch (xxhash64 content
+         keys — the scale path), prefixed with
+         ``pfx = pmod(xxhash64(pkey), n_prefixes)``;
+      2. the store is read partition-pruned to the batch's own ``pfx``
+         set (``prefix_store_read``) — a matching stored window shares
+         the pkey, hence the prefix, so pruning never loses a match.
+         Pruning pays off on trickle batches; a batch touching every
+         prefix degrades to a full store read whose JOIN is still
+         pkey-bounded;
+      3. identical re-deliveries drop via an anti-join on
+         (doc_id, pos, pkey) — deterministic for the same reason as
+         the minhash store's signature anti-join (an identical
+         re-delivery's rows are guaranteed inside its own pruned
+         partitions);
+      4. every batch window whose content appears in ANOTHER doc
+         (stored or same-batch) emits BOTH sides as span records
+         (doc_id, pos, pkey) — so the cumulative DISTINCT span set
+         equals the batch operator's (doc_id, pos) set at min_docs=2;
+         a stored window re-emitted across epochs dedups at read time
+         (consumers treat spans as a set);
+      5. the batch's windows append to the store, partitioned by
+         (epoch, pfx); epoch-partitioned dynamic overwrite makes a
+         replayed batch REPLACE its own partitions (idempotent).
+
+    State = the window-key store: one (doc_id, pos, 8-B key) row per
+    token window — O(tokens) rows, the inherent state of EXACT
+    substring dedup (the text itself never lands in the store).
+    Sketch-based near-dup (the minhash store) is the cheaper state
+    when approximate matching suffices.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from .ml.dedup import _doc_passages
+
+    stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+              .parquet(src_path))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        win_new = (
+            _doc_passages(batch_df.where(F.size("tokens") >= k), k, "hash")
+            .withColumn("pfx", F.pmod(F.xxhash64("pkey"),
+                                      F.lit(n_prefixes)).cast("int"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            # bounded driver-side collect: <= n_prefixes values
+            prefixes = [r["pfx"] for r in
+                        win_new.select("pfx").distinct().collect()]
+            store = prefix_store_read(spark, store_path, prefixes,
+                                      epoch_id)
+            if store is not None:
+                store = store.select("doc_id", "pos", "pkey", "pfx")
+                win_new_f = win_new.join(
+                    store.select("doc_id", "pos", "pkey"),
+                    ["doc_id", "pos", "pkey"], "left_anti")
+                all_win = store.unionByName(win_new_f)
+            else:
+                win_new_f = win_new
+                all_win = win_new
+            m = (win_new_f.alias("a")
+                 .join(all_win.alias("b"),
+                       (F.col("a.pkey") == F.col("b.pkey"))
+                       & (F.col("a.doc_id") != F.col("b.doc_id"))))
+            hits = (m.select(F.col("a.doc_id").alias("doc_id"),
+                             F.col("a.pos").alias("pos"),
+                             F.col("a.pkey").alias("pkey"))
+                    .unionByName(
+                        m.select(F.col("b.doc_id").alias("doc_id"),
+                                 F.col("b.pos").alias("pos"),
+                                 F.col("b.pkey").alias("pkey")))
+                    .distinct())
+            (hits.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(spans_path))
+            (win_new_f.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch", "pfx").parquet(store_path))
+        finally:
+            win_new.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -365,3 +365,53 @@ def test_stream_neardup_modified_redelivery_is_new_version(spark, tmp_path):
     pairs = spark.read.parquet(paths["pairs"]).toPandas()
     got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.itertuples()}
     assert ("other", "target") in got or ("othercopy", "target") in got
+
+
+def test_stream_duplicate_passages_matches_batch(spark, tmp_path):
+    """Two micro-batches with shared passages spanning the batch
+    boundary: the cumulative distinct streaming span set must equal
+    the batch operator's (doc_id, pos) spans over the full corpus."""
+    import numpy as np
+    from apollon_spark.ml.dedup import duplicate_passage_spans
+    from apollon_spark.streaming import stream_duplicate_passages
+
+    rng = np.random.default_rng(12)
+    shared = rng.integers(0, 300, 14).tolist()     # 14-token shared run
+
+    def doc(doc_id, toks):
+        return (doc_id, [int(x) for x in toks], len(toks), "s")
+
+    b1 = [
+        doc("a0", rng.integers(0, 300, 30).tolist() + shared),
+        doc("a1", rng.integers(0, 300, 40).tolist()),
+        # same-batch duplicate pair
+        doc("a2", shared + rng.integers(0, 300, 10).tolist()),
+    ]
+    b2 = [
+        # cross-batch duplicate of a0/a2's shared run
+        doc("b0", rng.integers(0, 300, 5).tolist() + shared),
+        doc("b1", rng.integers(0, 300, 25).tolist()),
+    ]
+
+    src = str(tmp_path / "src")
+    cols = "doc_id string, tokens array<int>, n_tok int, source string"
+    spark.createDataFrame(b1, cols).write.mode("append").parquet(src)
+    paths = {n: str(tmp_path / n) for n in ("store", "spans", "ckpt")}
+
+    def run_once():
+        q = stream_duplicate_passages(
+            spark, src, paths["store"], paths["spans"], paths["ckpt"],
+            k=8, n_prefixes=8)
+        q.awaitTermination()
+
+    run_once()
+    spark.createDataFrame(b2, cols).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r["doc_id"], r["pos"]) for r in
+           spark.read.parquet(paths["spans"]).collect()}
+    alldocs = spark.read.schema(cols).parquet(src)
+    want = {(r["doc_id"], r["pos"]) for r in
+            duplicate_passage_spans(alldocs, k=8, key="hash").collect()}
+    assert want, "fixture must contain duplicated passages"
+    assert got == want
