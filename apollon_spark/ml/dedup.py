@@ -497,6 +497,60 @@ def duplicate_passage_spans(docs: DataFrame, k: int = 16,
             .select("doc_id", "pos", "n_docs", "n_occur"))
 
 
+def merge_passage_spans(spans: DataFrame, k: int) -> DataFrame:
+    """Merge duplicated window STARTS into maximal token spans per doc
+    (the intervals a trainer actually cuts): consecutive start
+    positions belong to one island (gaps-and-islands:
+    ``pos - row_number()`` is constant within a run), and the island
+    covers tokens [min(pos), max(pos) + k).
+
+    Returns (doc_id, span_start, span_end, n_windows); span_end is
+    EXCLUSIVE. Overlapping windows k apart merge transitively — two
+    starts ``p`` and ``p+1`` cover [p, p+1+k) as one span.
+
+    Scale: one window over (doc_id)-partitioned span starts — the
+    DUPLICATED subset, not the corpus — then a groupBy on the island
+    key; both shuffle feature-scale rows."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = spans.select(
+        "doc_id", "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("_isl"))
+    return (islands.groupBy("doc_id", "_isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k).alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .drop("_isl")
+            .select("doc_id", "span_start", "span_end", "n_windows"))
+
+
+def passage_dup_stats(docs: DataFrame, k: int = 16, key: str = "hash",
+                      min_docs: int = 2) -> DataFrame:
+    """Per-doc duplication coverage (the curation filter signal): the
+    fraction of a doc's tokens lying inside a duplicated span.
+
+    Returns (doc_id, n_tok, n_dup_tokens, dup_frac) for EVERY doc
+    (0.0 when nothing is duplicated). Computed from the MERGED spans,
+    so overlapping windows are not double-counted."""
+    spans = duplicate_passage_spans(docs, k, key, min_docs)
+    merged = merge_passage_spans(spans, k)
+    per_doc = (merged.groupBy("doc_id")
+               .agg(F.sum(F.col("span_end") - F.col("span_start"))
+                    .alias("n_dup_tokens")))
+    return (docs.select("doc_id", "n_tok")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id", "n_tok",
+                F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"))
+            .withColumn(
+                "dup_frac",
+                F.when(F.col("n_tok") > 0,
+                       # spans can run past n_tok only if pos+k does,
+                       # which the window construction forbids
+                       F.col("n_dup_tokens").cast("double")
+                       / F.col("n_tok").cast("double"))
+                .otherwise(F.lit(0.0))))
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------

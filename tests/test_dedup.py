@@ -465,3 +465,35 @@ def test_connected_components_star_random_graphs(spark):
         want = uf_oracle(pairs)
         assert prop == want, f"trial {trial} propagate"
         assert star == want, f"trial {trial} star"
+
+
+def test_merge_passage_spans_and_dup_stats(spark):
+    """Gaps-and-islands span merging and per-doc coverage fraction vs
+    a hand-computed oracle: overlapping window starts merge into one
+    maximal span, disjoint runs stay separate, and coverage counts
+    merged tokens exactly once."""
+    from apollon_spark.ml.dedup import (merge_passage_spans,
+                                        passage_dup_stats)
+    k = 4
+    # doc A: starts {0,1,2} -> one span [0, 6); starts {10} -> [10, 14)
+    spans = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("A", 2), ("A", 10), ("B", 5)],
+        "doc_id string, pos int")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in merge_passage_spans(spans, k).collect()}
+    assert got == {("A", 0, 6, 3), ("A", 10, 14, 1), ("B", 5, 9, 1)}
+
+    # end-to-end coverage on a planted corpus: docs x/y share a
+    # 6-token run -> 3 window starts at k=4 -> merged span of 6 tokens
+    shared = [50, 51, 52, 53, 54, 55]
+    docs = spark.createDataFrame(
+        [("x", shared + [1, 2], 8, "s"),
+         ("y", [9] + shared + [3], 8, "s"),
+         ("z", [70, 71, 72, 73, 74, 75, 76, 77], 8, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    stats = {r["doc_id"]: r for r in
+             passage_dup_stats(docs, k=k, key="hash").collect()}
+    assert stats["x"]["n_dup_tokens"] == 6
+    assert stats["y"]["n_dup_tokens"] == 6
+    assert stats["x"]["dup_frac"] == 6 / 8
+    assert stats["z"]["n_dup_tokens"] == 0 and stats["z"]["dup_frac"] == 0.0
