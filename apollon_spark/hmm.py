@@ -339,12 +339,46 @@ def estep_posteriors_m2(x: np.ndarray, btab: np.ndarray,
     return a0, c, n0 / s, n1 / s
 
 
+def estep_posteriors(x: np.ndarray, btab: np.ndarray,
+                     gamma, delta) -> tuple[np.ndarray, ...]:
+    """General-m scaled forward-backward E-step on fixed parameters:
+    returns (alpha (T,m), c (T,), post (T,m)). Same recurrences as
+    ``estep_posteriors_m2`` in vectorized matrix form (reference
+    hmm/poisson.py:78-98); the m=2 scalar variant remains the oracle
+    gate's bit-exact twin, this is the API for arbitrary state counts
+    (decode a corpus against any trained model)."""
+    x = assert_poisson_input(np.asarray(x))
+    T = x.size
+    G = np.asarray(gamma, dtype="float64")
+    m = G.shape[0]
+    b = btab[x]                                   # (T, m)
+    alpha = np.empty((T, m))
+    c = np.empty(T)
+    phi = np.asarray(delta, dtype="float64") * b[0]
+    c[0] = phi.sum()
+    alpha[0] = phi / c[0]
+    for t in range(1, T):
+        phi = (alpha[t - 1] @ G) * b[t]
+        c[t] = phi.sum()
+        alpha[t] = phi / c[t]
+    beta = np.empty((T, m))
+    beta[-1] = 1.0
+    for t in range(T - 2, -1, -1):
+        beta[t] = (G @ (b[t + 1] * beta[t + 1])) / c[t + 1]
+    post = alpha * beta
+    post /= post.sum(axis=1, keepdims=True)
+    return alpha, c, post
+
+
 def estep_docs(docs: DataFrame, lam, gamma, delta,
                spread: bool = True) -> DataFrame:
-    """Per-doc E-step posteriors on fixed 2-state parameters — one
-    mapInPandas over (doc_id, tokens), long-form output
-    (doc_id, t, alpha0, cscale, post0, post1). The b table is built
-    once on the driver and closed over (tiny: 256×2 doubles).
+    """Per-doc E-step posteriors on fixed parameters — one mapInPandas
+    over (doc_id, tokens), long-form output
+    (doc_id, t, alpha0, cscale, post0, post1 [, post2, ...]). The b
+    table is built once on the driver and closed over (tiny: 256×m
+    doubles). m=2 routes through the scalar-order kernel (the oracle
+    gate's bit-exact twin); any other m uses the vectorized
+    ``estep_posteriors``.
 
     ``spread``: like ``fit_hmm_docs`` — the per-doc scan is CPU-bound
     Python, so a compact input (one small parquet file = one scan
@@ -352,6 +386,7 @@ def estep_docs(docs: DataFrame, lam, gamma, delta,
     round-robin shuffle when the input has fewer partitions than the
     cluster (a no-op at real scale)."""
     btab = estep_b_table(lam)
+    m = len(lam)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -360,12 +395,20 @@ def estep_docs(docs: DataFrame, lam, gamma, delta,
                 x = np.asarray(tokens, dtype="int64")
                 if x.size == 0:
                     continue
-                a0, c, p0, p1 = estep_posteriors_m2(x, btab, gamma, delta)
+                if m == 2:
+                    a0, c, p0, p1 = estep_posteriors_m2(
+                        x, btab, gamma, delta)
+                    cols = {"alpha0": a0, "cscale": c,
+                            "post0": p0, "post1": p1}
+                else:
+                    alpha, c, post = estep_posteriors(
+                        x, btab, gamma, delta)
+                    cols = {"alpha0": alpha[:, 0], "cscale": c}
+                    cols.update({f"post{j}": post[:, j]
+                                 for j in range(m)})
                 out.append(pd.DataFrame({
                     "doc_id": np.repeat(doc_id, x.size),
-                    "t": np.arange(x.size, dtype="int32"),
-                    "alpha0": a0, "cscale": c,
-                    "post0": p0, "post1": p1}))
+                    "t": np.arange(x.size, dtype="int32"), **cols}))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
@@ -373,9 +416,10 @@ def estep_docs(docs: DataFrame, lam, gamma, delta,
     src = docs.select("doc_id", "tokens")
     if spread:
         src = spread_compact(src)
+    post_cols = ", ".join(f"post{j} double" for j in range(m))
     return src.mapInPandas(
-        gen, "doc_id string, t int, alpha0 double, cscale double, "
-             "post0 double, post1 double")
+        gen, f"doc_id string, t int, alpha0 double, cscale double, "
+             f"{post_cols}")
 
 
 # ---------------------------------------------------------------------------

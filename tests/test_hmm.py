@@ -140,3 +140,72 @@ def test_estep_docs_spark(spark):
     # high-count tokens must be attributed to the high-lambda state
     hi = out[(out["doc_id"] == "a") & (out["t"] == 2)].iloc[0]
     assert hi["post1"] > 0.99
+
+
+def test_estep_general_m_matches_m2_and_m3_smoother():
+    """The general-m E-step equals the scalar m=2 twin bit-for-bit
+    where they overlap, and at m=3 matches an independent full-pmf
+    smoother to float tolerance."""
+    import math
+    rng = np.random.default_rng(19)
+    x = np.concatenate([rng.poisson(10, 30), rng.poisson(60, 30),
+                        rng.poisson(150, 30)]).astype("int64")
+
+    # m=2 overlap: identical recurrences, same emission table
+    lam2 = (16.0, 128.0)
+    gam2 = ((0.75, 0.25), (0.375, 0.625))
+    dlt2 = (0.5, 0.5)
+    btab2 = hmm.estep_b_table(lam2)
+    a0, c2, p0, p1 = hmm.estep_posteriors_m2(x, btab2, gam2, dlt2)
+    al, cg, post = hmm.estep_posteriors(x, btab2, gam2, dlt2)
+    np.testing.assert_allclose(al[:, 0], a0, rtol=1e-12)
+    np.testing.assert_allclose(cg, c2, rtol=1e-12)
+    np.testing.assert_allclose(post[:, 0], p0, rtol=0, atol=1e-12)
+
+    # m=3 vs independent full-pmf smoother
+    lam3 = (10.0, 60.0, 150.0)
+    gam3 = ((0.8, 0.15, 0.05), (0.1, 0.8, 0.1), (0.05, 0.15, 0.8))
+    dlt3 = (1 / 3, 1 / 3, 1 / 3)
+    btab3 = hmm.estep_b_table(lam3)
+    _, _, post3 = hmm.estep_posteriors(x, btab3, gam3, dlt3)
+
+    lamv = np.array(lam3)
+    logb = (x[:, None] * np.log(lamv) - lamv
+            - np.array([math.lgamma(int(v) + 1) for v in x])[:, None])
+    b = np.exp(logb)
+    G = np.array(gam3)
+    T = x.size
+    alpha = np.empty((T, 3)); cs = np.empty(T)
+    phi = np.array(dlt3) * b[0]
+    cs[0] = phi.sum(); alpha[0] = phi / cs[0]
+    for t in range(1, T):
+        phi = (alpha[t - 1] @ G) * b[t]
+        cs[t] = phi.sum(); alpha[t] = phi / cs[t]
+    beta = np.empty((T, 3)); beta[-1] = 1.0
+    for t in range(T - 2, -1, -1):
+        beta[t] = (G @ (b[t + 1] * beta[t + 1])) / cs[t + 1]
+    want = alpha * beta
+    want /= want.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(post3, want, rtol=0, atol=1e-9)
+    # posteriors track the generating regimes on the regime blocks
+    assert post3[:25, 0].mean() > 0.9
+    assert post3[35:55, 1].mean() > 0.9
+    assert post3[65:, 2].mean() > 0.9
+
+
+def test_estep_docs_m3(spark):
+    """estep_docs at m=3 emits post0..post2 summing to 1 per row."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": ["a"], "tokens": [[5, 60, 150, 10, 145]]})
+    out = (hmm.estep_docs(spark.createDataFrame(pdf),
+                          (10.0, 60.0, 150.0),
+                          ((0.8, 0.15, 0.05), (0.1, 0.8, 0.1),
+                           (0.05, 0.15, 0.8)),
+                          (1 / 3, 1 / 3, 1 / 3))
+           .toPandas().sort_values("t"))
+    assert list(out.columns) == ["doc_id", "t", "alpha0", "cscale",
+                                 "post0", "post1", "post2"]
+    s = out["post0"] + out["post1"] + out["post2"]
+    np.testing.assert_allclose(s.to_numpy(), 1.0, rtol=1e-12)
+    assert out.iloc[2]["post2"] > 0.9        # 150 -> high-lambda state
