@@ -430,29 +430,76 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, arr_col: str, k: int,
 #
 # Key functions: "md5" builds the key as md5 of the comma-joined
 # tokens — byte-identical in Spark and DuckDB, so the whole operator
-# value-oracles; "hash" uses xxhash64 of the same string (8-byte keys,
-# the cheaper shuffle at corpus scale; no DuckDB twin, pytest-parity
-# against the md5 path instead).
+# value-oracles; "hash" is a batched-numpy 64-bit polynomial rolling
+# hash (8-byte keys, the cheaper shuffle and ~100x cheaper key
+# computation at corpus scale; no DuckDB twin, pytest-parity against
+# the md5 path instead).
 
 
 def _passage_keys_expr(k: int, key: str) -> str:
+    if key != "md5":
+        raise ValueError(f"unknown expr key {key!r}")
     gram = (f"transform(slice(tokens, i + 1, {k}), "
             "x -> cast(x as string))")
-    if key == "md5":
-        fn = f"md5(concat_ws(',', {gram}))"
-    elif key == "hash":
-        fn = f"xxhash64(concat_ws(',', {gram}))"
-    else:
-        raise ValueError(f"unknown key {key!r}")
-    return f"transform(sequence(0, n_tok - {k}), i -> {fn})"
+    return (f"transform(sequence(0, n_tok - {k}), "
+            f"i -> md5(concat_ws(',', {gram})))")
+
+
+_ROLL_A = np.uint64(1099511628211)       # FNV-1a prime, odd => bijective *A
+
+
+def _rolling_keys(t: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized 64-bit polynomial window keys over an int token
+    array: key_i = sum_j t[i+j] * A^(k-1-j) mod 2^64 (uint64
+    wraparound IS the modulus — no bigint, no strings). Content-equal
+    windows always collide; adversarial engineered collisions are
+    possible in a linear hash, which is why the md5 path stays the
+    exactness/oracle form."""
+    w = np.lib.stride_tricks.sliding_window_view(
+        t.astype(np.uint64), k)
+    weights = _ROLL_A ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    return (w * weights[None, :]).sum(axis=1, dtype=np.uint64) \
+        .view(np.int64)
 
 
 def _doc_passages(docs: DataFrame, k: int, key: str) -> DataFrame:
-    """(doc_id, pos, pkey): one row per length-k token window."""
-    return (docs.where(F.col("n_tok") >= k)
-            .select("doc_id",
-                    F.posexplode(F.expr(_passage_keys_expr(k, key)))
-                    .alias("pos", "pkey")))
+    """(doc_id, pos, pkey): one row per length-k token window.
+
+    ``key="md5"`` stays a pure column expression (cross-engine oracle
+    parity). ``key="hash"`` runs the batched-numpy rolling-hash kernel
+    in one mapInPandas: the nested higher-order-function form
+    (transform(sequence) over transform(slice) + concat_ws +
+    xxhash64) is CodegenFallback-interpreted and built a string per
+    window — measured 267s for 59.5M windows at the sf1 spot-bench
+    (~4.5 µs/window); the numpy kernel is pure uint64 arithmetic over
+    strided views (same 20-100x HOF-vs-numpy penalty the minhash
+    kernel documents)."""
+    if key == "md5":
+        return (docs.where(F.col("n_tok") >= k)
+                .select("doc_id",
+                        F.posexplode(F.expr(_passage_keys_expr(k, key)))
+                        .alias("pos", "pkey")))
+    if key != "hash":
+        raise ValueError(f"unknown key {key!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                t = np.asarray(toks, dtype="int64")
+                if t.size < k:
+                    continue
+                keys = _rolling_keys(t, k)
+                out.append(pd.DataFrame({
+                    "doc_id": np.repeat(doc_id, keys.size),
+                    "pos": np.arange(keys.size, dtype="int32"),
+                    "pkey": keys}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    from ..session import spread_compact
+    src = spread_compact(docs.select("doc_id", "tokens"))
+    return src.mapInPandas(gen, "doc_id string, pos int, pkey long")
 
 
 def _dup_table(passages: DataFrame, min_docs: int) -> DataFrame:
@@ -485,14 +532,18 @@ def duplicate_passage_spans(docs: DataFrame, k: int = 16,
     form the maximal spans a trainer masks or cuts.
 
     Scale: the window table feeds BOTH the corpus aggregate and the
-    span join, so it is pinned once with a lazy localCheckpoint (the
-    lsh_candidate_pairs pattern: leak-free reference-GC'd blocks,
-    materialized inside the first consuming job) — without it each
-    consumer re-runs the full window explosion and key hashing, i.e.
-    two corpus scans. The join against the (much smaller)
-    duplicated-content table is a pkey equi-join co-partitioned with
-    the groupBy that produced it."""
-    p = _doc_passages(docs, k, key).localCheckpoint(eager=False)
+    span join and is RECOMPUTED for each — deliberately the opposite
+    of the lsh_candidate_pairs checkpoint pattern. The banded LSH keys
+    are far SMALLER than the corpus, so pinning them wins; the
+    exploded window table is ~7x the INPUT bytes (one ~30 B row per
+    token), so materializing it costs more than running the cheap
+    numpy key kernel twice — measured at 17.7M windows: spans 78s
+    with a lazy checkpoint vs 45s recomputing (the checkpoint write +
+    two reads of the blown-up table dominate). The join against the
+    (much smaller) duplicated-content table is a pkey equi-join
+    co-partitioned with the groupBy that produced it; plan-tested to
+    carry no checkpoint scan."""
+    p = _doc_passages(docs, k, key)
     return (p.join(_dup_table(p, min_docs), "pkey")
             .select("doc_id", "pos", "n_docs", "n_occur"))
 

@@ -85,6 +85,18 @@ def main() -> None:
         "tokens_per_sec": round(total_tokens / t_pack, 0),
         "docs_per_sec": round(total_docs / t_pack, 1),
     }
+
+    # --- duplicate passages (exact substring dedup, fixed k) --------
+    t0 = time.time()
+    spans = dd.duplicate_passage_spans(docs, k=32, key="hash")
+    n_spans = spans.count()
+    t_pass = time.time() - t0
+    out["dup_passages"] = {
+        "sec": round(t_pass, 2),
+        "k": 32,
+        "n_span_starts": n_spans,
+        "windows_per_sec": round(total_tokens / t_pass, 0),
+    }
     docs.unpersist()
     print(json.dumps(out))
 
