@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="stream-neardup: signature store dir")
     ap.add_argument("--ctx-len", type=int, default=2048,
                     help="pack: training-sequence context length")
+    ap.add_argument("--shuffle-salt", default=None,
+                    help="pack: pack in a deterministic md5-shuffled "
+                         "doc order under this salt (default: ingest "
+                         "doc_id order)")
     ap.add_argument("--quota", type=int, default=0,
                     help="sample: exact per-stratum quota (0 = use "
                          "--rate-hex instead)")
@@ -323,8 +327,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"span_starts": n_spans}))
     elif args.stage == "pack":
         # concat-and-chunk the tokenized docs table into fixed-context
-        # training sequences (exact corpus round-trip; test_packing)
+        # training sequences (exact corpus round-trip; test_packing).
+        # --shuffle-salt packs in a deterministic md5-shuffled doc
+        # order instead of ingest order (shuffle-key-prefixed ids;
+        # ml/curation.shuffle_corpus)
+        from pyspark.sql import functions as F
+
         from .operators.packing import pack_sequences
+        if args.shuffle_salt:
+            from .ml.curation import shuffle_key
+            docs = docs.withColumn(
+                "doc_id", F.concat(shuffle_key(args.shuffle_salt),
+                                   F.lit(":"), F.col("doc_id")))
         out = pack_sequences(docs, args.ctx_len)
         storage.write_table(out, args.output)
         stats = storage.read_table(spark, args.output) \

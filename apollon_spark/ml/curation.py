@@ -202,6 +202,43 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
             .select(by, "doc_id", "copy"))
 
 
+SHUFFLE_SALT = "shuffle"
+
+
+def shuffle_key(salt: str = SHUFFLE_SALT):
+    """Deterministic per-doc shuffle coordinate: md5(doc_id||':'||salt)
+    — seedless, uniform, engine-reproducible (the repo's salted-coin
+    idiom; independent of every sampling coin by salt)."""
+    return _coin(salt)
+
+
+def shuffle_corpus(docs: DataFrame, salt: str = SHUFFLE_SALT,
+                   n_partitions: int | None = None) -> DataFrame:
+    """Global training-corpus shuffle — the standard step before
+    sequence packing so consecutive training sequences don't replay
+    ingest order (per-source runs, crawl locality).
+
+    Deterministic: order = md5(doc_id||':'||salt); rerunning (or
+    resuming) yields the identical permutation, and changing ``salt``
+    gives an independent one. Scale: ONE repartitionByRange on the
+    16-byte key + a within-partition sort — the canonical way to
+    execute a 10^12-row permutation (a global orderBy would plan the
+    same range exchange; writing partition files in order then reading
+    them sequentially replays the permuted corpus).
+
+    To PACK in shuffled order, remap the packing id to the shuffle
+    key: ``docs.withColumn("doc_id", concat(shuffle_key(), lit(":"),
+    col("doc_id")))`` — pack_sequences orders by doc_id, so the
+    prefixed id makes offsets follow the permutation while the
+    original id stays recoverable after the first ':'."""
+    out = docs.withColumn("_shuf", shuffle_key(salt))
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, "_shuf")
+    else:
+        out = out.repartitionByRange("_shuf")
+    return out.sortWithinPartitions("_shuf").drop("_shuf")
+
+
 def vocab_stats(docs: DataFrame, top_k: int = 32) -> DataFrame:
     """Corpus token-frequency table: occurrences and document
     frequency per token, ranked by (n_occur desc, token asc), top_k

@@ -248,3 +248,50 @@ def test_contamination_hash_packing_large_vocab(spark):
         assert r["n_grams"] == len(grams), d
         assert r["n_hit"] == len(grams & bench_grams), d
     assert got["doc_copy"]["n_hit"] > 0
+
+
+def test_shuffle_corpus_deterministic_permutation(spark):
+    """Global shuffle: reading partitions in order yields the md5
+    permutation; deterministic across reruns; independent salts give
+    different orders; packing on shuffle-key-prefixed ids packs the
+    permuted corpus exactly (round-trip equality)."""
+    import numpy as np
+
+    from apollon_spark.ml.curation import shuffle_corpus, shuffle_key
+    from apollon_spark.operators.packing import pack_sequences
+    rng = np.random.RandomState(7)
+    rows = [(f"doc_{i:04d}", rng.randint(0, 256, 5).tolist(), 5, "s")
+            for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+
+    def order_of(salt):
+        sh = shuffle_corpus(docs, salt=salt, n_partitions=8)
+        # partition-order read == the permutation: reattach the key
+        # and verify global sortedness across partition boundaries
+        pdf = (sh.withColumn("_k", shuffle_key(salt))
+               .withColumn("_p", F.spark_partition_id())
+               .toPandas())
+        for p in range(8):
+            part = pdf[pdf["_p"] == p]["_k"]
+            assert part.is_monotonic_increasing        # sorted within
+        bounds = pdf.groupby("_p")["_k"].agg(["min", "max"]).sort_index()
+        assert (bounds["max"].values[:-1] <= bounds["min"].values[1:]).all()
+        return pdf.sort_values(["_p"]).reset_index(drop=True)["doc_id"]
+
+    o1, o2 = order_of("s1"), order_of("s1")
+    assert o1.tolist() == o2.tolist()                  # deterministic
+    assert o1.tolist() != order_of("s2").tolist()      # salt-independent
+    assert sorted(o1.tolist()) == sorted(r[0] for r in rows)
+
+    # pack in shuffled order via prefixed ids: flattening the packed
+    # sequences replays the corpus in md5(doc_id) order exactly
+    pref = docs.withColumn(
+        "doc_id", F.concat(shuffle_key("s1"), F.lit(":"), F.col("doc_id")))
+    packed = pack_sequences(pref, ctx_len=64).toPandas() \
+        .sort_values("seq_id")
+    flat = [t for toks in packed["tokens"] for t in toks]
+    want_order = sorted(rows, key=lambda r: __import__("hashlib").md5(
+        f"{r[0]}:s1".encode()).hexdigest())
+    want = [t for r in want_order for t in r[1]]
+    assert flat == want
