@@ -109,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-docs", type=int, default=2,
                     help="passages: min distinct docs sharing a window "
                          "for it to count as duplicated")
+    ap.add_argument("--emit", choices=["spans", "stats"],
+                    default="spans",
+                    help="passages: 'spans' = duplicated window starts "
+                         "per doc; 'stats' = per-doc duplication "
+                         "coverage fraction (merged spans, the "
+                         "curation filter signal)")
     ap.add_argument("--cc-algorithm", choices=["propagate", "star"],
                     default="propagate",
                     help="cluster: connected-components algorithm — "
@@ -230,15 +236,28 @@ def main(argv: list[str] | None = None) -> int:
         # >= --min-docs distinct docs
         from pyspark.sql import functions as F
 
-        from .ml.dedup import duplicate_passage_spans
-        out = duplicate_passage_spans(docs, k=args.passage_k,
-                                      min_docs=args.min_docs)
-        storage.write_table(out, args.output)
-        written = storage.read_table(spark, args.output)
-        n_spans, n_docs_hit = written.select(
-            F.count("*"), F.countDistinct("doc_id")).first()
-        print(json.dumps({"span_starts": n_spans,
-                          "docs_hit": int(n_docs_hit or 0)}))
+        from .ml.dedup import duplicate_passage_spans, passage_dup_stats
+        if args.emit == "stats":
+            out = passage_dup_stats(docs, k=args.passage_k,
+                                    min_docs=args.min_docs)
+            storage.write_table(out, args.output)
+            written = storage.read_table(spark, args.output)
+            n_docs_all, n_hit, frac = written.select(
+                F.count("*"),
+                F.sum((F.col("n_dup_tokens") > 0).cast("int")),
+                F.round(F.avg("dup_frac"), 6)).first()
+            print(json.dumps({"docs": n_docs_all,
+                              "docs_with_dups": int(n_hit or 0),
+                              "mean_dup_frac": float(frac or 0.0)}))
+        else:
+            out = duplicate_passage_spans(docs, k=args.passage_k,
+                                          min_docs=args.min_docs)
+            storage.write_table(out, args.output)
+            written = storage.read_table(spark, args.output)
+            n_spans, n_docs_hit = written.select(
+                F.count("*"), F.countDistinct("doc_id")).first()
+            print(json.dumps({"span_starts": n_spans,
+                              "docs_hit": int(n_docs_hit or 0)}))
     elif args.stage == "ann":
         # LSH top-k: input = vector table (--id-col, --vec-col; defaults
         # vec_id/embedding); queries = the first --n-queries vectors
