@@ -708,6 +708,13 @@ _ESTEP_DELTA = (0.5, 0.5)
 _PEAK_WIN, _PEAK_NB, _PEAK_NA = 4, 2, 2
 _PEAK_ALPHA, _PEAK_DELTA = 0.1, 0.5
 
+# onsets gate params: FluxOnsetDetector at 16/8 framing (docs are short
+# token series), hamming window, defaults elsewhere (alpha 0.1, fps
+# 9000 per FeatureConfig); the oracle replays the same constants
+_ONS_N, _ONS_HOP, _ONS_BINS = 16, 8, 9
+_ONS_NB, _ONS_NA, _ONS_ALPHA, _ONS_DELTA = 2, 2, 0.1, 0.05
+_ONS_FPS = 9000
+
 
 def _q_peak_scan(spark, sf_dir):
     """The FilterPeakPicker scan (reference onsets.py:227-262) value-
@@ -785,7 +792,10 @@ def _q_hmm_estep(spark, sf_dir):
         F.round("post1", 6).alias("post1"))
 
 
-# --- rows-only queries (non-SQL-expressible; pytest-verified) ---------------
+# --- spectral / iterative gates. The rows-only ones (no oracle_sql
+# --- entry; pytest-verified instead) are features_battery, hmm,
+# --- nonlinear and similarity_position; the rest here are value-
+# --- oracled via literal-basis / unrolled-recursion SQL. -------------------
 
 def _q_features_battery(spark, sf_dir):
     from apollon_spark.operators.framing import FramingParams
@@ -837,12 +847,25 @@ def _q_hmm(spark, sf_dir):
 
 
 def _q_onsets(spark, sf_dir):
+    """The FULL fused flux onset detector (reference FluxOnsetDetector,
+    onsets.py:179-216): framing -> hamming rfft -> spectral flux ->
+    per-doc mean floor -> FilterPeakPicker scan -> (doc_id, frame,
+    time). Value-oracled since r04: with n_perseg=16 the DFT is a
+    144-entry literal basis (mantissa-exact window·cos/sin products),
+    np.gradient flux is lead/lag window SQL, and the peak scan reuses
+    the peak_scan gate's recursive-CTE device — so the one remaining
+    FFT stage is SQL-expressible at this segment size. Output frames
+    are integers (time = frame/fps, an exact IEEE division of an
+    integer), so the value hash is immune to the ~1-ulp cross-engine
+    drift in the float intermediates; verified tuple-exact at sf0.001,
+    sf0.01 and sf0.1."""
     from apollon_spark.onsets import detect_onsets
     from apollon_spark.operators.framing import FramingParams
     from apollon_spark.spectral import FeatureConfig
     docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 32)
-    cfg = FeatureConfig(framing=FramingParams(16, 8))
-    return detect_onsets(docs, cfg, n_before=2, n_after=2, delta=0.05)
+    cfg = FeatureConfig(framing=FramingParams(_ONS_N, _ONS_HOP))
+    return detect_onsets(docs, cfg, n_before=_ONS_NB, n_after=_ONS_NA,
+                         alpha=_ONS_ALPHA, delta=_ONS_DELTA)
 
 
 def _q_som_train(spark, sf_dir):
@@ -1357,6 +1380,131 @@ SELECT c.doc_id, c.win_id, c.value,
        CAST(c.cond12 AS INT) AS cond12, CAST(s.cond3 AS INT) AS cond3,
        CAST(c.cond12 * s.cond3 AS INT) AS is_peak
 FROM c12 c JOIN scan s ON s.doc_id = c.doc_id AND s.win_id = c.win_id
+"""
+
+
+def _onsets_sql() -> str:
+    """onsets oracle: the fused flux onset detector replayed end-to-end
+    in SQL. Framing (extend x pad, segment.py:207-216 semantics) is the
+    closed-form n_segs/center arithmetic; the 16-point hamming rfft is
+    a 144-row literal basis table (window·cos / window·sin products as
+    mantissa·2^exp exact doubles — the same device as hmm_estep's
+    emission table, applied to the DFT matrix); np.gradient spectral
+    flux (features.py:280-305) is lead/lag window SQL with the one-
+    sided edge stencils; the per-doc mean floor is greatest(flux, avg
+    over doc); the FilterPeakPicker scan reuses _peak_scan_sql's
+    edge-corrected window conds + recursive-CTE smoother. Output
+    (doc_id, frame, time) is integer-derived — frame = hop·win_id and
+    time = frame/fps are bit-identical cross-engine — so the ~1-ulp
+    FFT-vs-basis-matmul drift in float intermediates cannot reach the
+    hash: a flip would need two UNRELATED float comparisons within one
+    ulp (verified tuple-exact at sf0.001/0.01/0.1)."""
+    import math
+
+    import numpy as np
+
+    from apollon_spark.functions.windows import get_window
+    n, hop, nbins = _ONS_N, _ONS_HOP, _ONS_BINS
+    nb, na = _ONS_NB, _ONS_NA
+    win = get_window("hamming", n)
+    norm_c = _exact_double(math.sqrt(win.sum() ** 2))
+    ang = 2.0 * np.pi * np.outer(np.arange(nbins), np.arange(n)) / n
+    wc = np.cos(ang) * win
+    ws = np.sin(ang) * win
+    basis = ",".join(
+        f"({k},{t},{_exact_double(wc[k, t])},{_exact_double(ws[k, t])})"
+        for k in range(nbins) for t in range(n))
+    a = _exact_double(_ONS_ALPHA)
+    b = _exact_double(1.0 - _ONS_ALPHA)
+    d = _exact_double(_ONS_DELTA)
+    return f"""
+WITH RECURSIVE {DUCKDB_DOCS_CTE.strip()},
+meta AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST((n_tok + {hop} + (({n} - n_tok) % {hop} + {hop}) % {hop})
+              // {hop} AS INT) AS n_segs
+  FROM docs WHERE n_tok >= 32
+),
+segs AS (
+  SELECT doc_id, tokens, n_tok, n_segs,
+         CAST(unnest(range(n_segs)) AS INT) AS s
+  FROM meta
+),
+basis(k, t, wc, ws) AS (VALUES {basis}),
+spec AS (
+  SELECT g.doc_id, g.s, g.n_segs, b.k,
+         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
+                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
+                  ELSE 0.0 END * b.wc) AS re,
+         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
+                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
+                  ELSE 0.0 END * b.ws) AS im
+  FROM segs g CROSS JOIN basis b
+  GROUP BY g.doc_id, g.s, g.n_segs, b.k
+),
+mag AS (
+  SELECT doc_id, s, n_segs, k,
+         sqrt((re/{norm_c}*2)*(re/{norm_c}*2)
+              + (im/{norm_c}*2)*(im/{norm_c}*2)) AS m
+  FROM spec
+),
+grad AS (
+  SELECT doc_id, s, n_segs,
+         CASE WHEN s = 0 THEN lead(m) OVER wk - m
+              WHEN s = n_segs - 1 THEN m - lag(m) OVER wk
+              ELSE (lead(m) OVER wk - lag(m) OVER wk) / 2.0 END AS gr
+  FROM mag
+  WINDOW wk AS (PARTITION BY doc_id, k ORDER BY s)
+),
+flux AS (
+  SELECT doc_id, s, n_segs, sum(greatest(gr, 0.0)) AS fx
+  FROM grad GROUP BY doc_id, s, n_segs
+),
+vals AS (
+  SELECT doc_id, s AS win_id, n_segs AS n,
+         greatest(fx, avg(fx) OVER (PARTITION BY doc_id)) AS value
+  FROM flux
+),
+stats AS (
+  SELECT doc_id, win_id, n, value,
+         max(value) OVER w5 AS wmax,
+         sum(value) OVER w5 AS wsum,
+         first_value(value) OVER (PARTITION BY doc_id ORDER BY win_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vfirst,
+         last_value(value) OVER (PARTITION BY doc_id ORDER BY win_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vlast
+  FROM vals
+  WINDOW w5 AS (PARTITION BY doc_id ORDER BY win_id
+                ROWS BETWEEN {nb} PRECEDING AND {na} FOLLOWING)
+),
+c12 AS (
+  SELECT doc_id, win_id,
+         CASE WHEN value >= wmax AND value >=
+           ((wsum + greatest(0, {nb} - win_id) * vfirst
+                  + greatest(0, {na} - (n - 1 - win_id)) * vlast)
+            / {nb + na + 1}.0) + {d}
+         THEN 1 ELSE 0 END AS cond12
+  FROM stats
+),
+scan AS (
+  SELECT doc_id, win_id, value,
+         greatest(value, {a}*CAST(0.0 AS DOUBLE) + {b}*value) AS g,
+         CASE WHEN value >= greatest(value,
+           {a}*CAST(0.0 AS DOUBLE) + {b}*value) THEN 1 ELSE 0 END AS cond3
+  FROM vals WHERE win_id = 0
+  UNION ALL
+  SELECT v.doc_id, v.win_id, v.value,
+         greatest(v.value, {a}*sc.g + {b}*v.value) AS g,
+         CASE WHEN v.value >= greatest(v.value, {a}*sc.g + {b}*v.value)
+              THEN 1 ELSE 0 END AS cond3
+  FROM scan sc JOIN vals v ON v.doc_id = sc.doc_id
+                          AND v.win_id = sc.win_id + 1
+)
+SELECT c.doc_id,
+       CAST({hop} * c.win_id AS BIGINT) AS frame,
+       CAST({hop} * c.win_id AS BIGINT) / {_ONS_FPS}.0 AS time
+FROM c12 c JOIN scan s ON s.doc_id = c.doc_id AND s.win_id = c.win_id
+WHERE c.cond12 = 1 AND s.cond3 = 1
 """
 
 
@@ -2048,6 +2196,7 @@ FROM ranked WHERE rn = 1
         "dup_clusters": _dup_clusters_sql(),
         "peak_scan": _peak_scan_sql(),
         "hmm_estep": _hmm_estep_sql(),
+        "onsets": _onsets_sql(),
         # exact duplicate-passage spans: md5 content keys are
         # byte-identical cross-engine; DuckDB range() end is exclusive
         # where Spark sequence() is inclusive, hence the +1
