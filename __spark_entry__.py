@@ -798,10 +798,23 @@ def _q_hmm_estep(spark, sf_dir):
 # --- oracled via literal-basis / unrolled-recursion SQL. -------------------
 
 def _q_features_battery(spark, sf_dir):
+    """The FULL spectral battery (energy/rms/spl/centroid/spread/
+    skewness/kurtosis/flux/fspl/loudness/sharpness), value-oracled
+    since r04 via a 544-entry literal DFT basis + literal Bark bank /
+    sharpness weights at 6-decimal rounding (see _features_battery_sql).
+    The entropy column is projected away: with_entropy=False makes it
+    constant NaN (spectral.py:190) — zero information, and NaN vs NULL
+    canonicalization differs cross-engine; the entropy kernel itself is
+    pytest-verified (tests/test_kernels_extra.py)."""
     from apollon_spark.operators.framing import FramingParams
     from apollon_spark.spectral import FeatureConfig, extract_features
     cfg = FeatureConfig(framing=FramingParams(32, 16))
-    return extract_features(_docs(spark, sf_dir), cfg)
+    feats = extract_features(_docs(spark, sf_dir), cfg)
+    rounded = [F.round(c, 6).alias(c)
+               for c in ["energy", "rms", "spl", "centroid", "spread",
+                         "skewness", "kurtosis", "flux", "fspl",
+                         "loudness", "sharpness"]]
+    return feats.select("doc_id", "seg_idx", "center", "ts", *rounded)
 
 
 def _q_features_split(spark, sf_dir):
@@ -1288,6 +1301,189 @@ SELECT doc_id, seg_idx, center,
                   THEN 20 * log10(sqrt(energy / 32) / 2e-5)
                   ELSE 0.0 END, 6) AS spl
 FROM agg
+"""
+
+
+def _features_battery_sql() -> str:
+    """features_battery oracle: the FULL spectral battery replayed in
+    SQL at framing 32/16. Build-time numpy precomputes every constant
+    matrix as mantissa-exact literals — the 17x32 windowed DFT basis
+    (the onsets-gate device at battery size), the rfftfreq axis, the
+    NONZERO entries of the 24x17 Bark triangular bank
+    (critical_bands.py:68-91) and the z·max(1, 0.066·e^0.171z)
+    sharpness weights (critical_bands.py:94-124) — so the only runtime
+    cross-engine math is +,*,/ ,sqrt,log10,pow. Semantics replayed
+    exactly: power_distr's zero-total->1 guard, the spread=0->sigma=1
+    moment guard, np.gradient's one-sided flux edges per doc, fspl's
+    max(1,·) floor, cb_level's 10e-12 ref, loud_part's eps floor over
+    ALL 24 bands (the 6 all-zero high bands each contribute eps), and
+    sharpness' whole-doc scalar denominator as a partition sum. Both
+    sides round to 6 decimals, absorbing the ~1-ulp FFT-vs-basis and
+    libm drift (verified value-exact at sf0.001/0.01/0.1)."""
+    import math
+
+    import numpy as np
+
+    from apollon_spark.functions import kernels as K
+    from apollon_spark.functions.windows import get_window
+    n, hop, fps = 32, 16, 9000
+    nbins = n // 2 + 1
+    win = get_window("hamming", n)
+    norm_c = _exact_double(math.sqrt(win.sum() ** 2))
+    frqs = K.rfftfreq(n, fps)
+    bank = K.bark_filter_bank(frqs)
+    ang = 2.0 * np.pi * np.outer(np.arange(nbins), np.arange(n)) / n
+    wc = np.cos(ang) * win
+    ws = np.sin(ang) * win
+    basis = ",".join(
+        f"({k},{t},{_exact_double(wc[k, t])},{_exact_double(ws[k, t])})"
+        for k in range(nbins) for t in range(n))
+    frq_lits = ",".join(f"({k},{_exact_double(frqs[k])})"
+                        for k in range(nbins))
+    bankw = ",".join(f"({b},{k},{_exact_double(bank[b, k])})"
+                     for b in range(24) for k in range(nbins)
+                     if bank[b, k] != 0.0)
+    z = np.arange(1, 25, dtype="float64")
+    zw = z * np.maximum(1.0, 0.066 * np.exp(0.171 * z))
+    bands = ",".join(f"({b},{_exact_double(zw[b])})" for b in range(24))
+    eps = _exact_double(float(np.finfo("float64").eps))
+    ref = _exact_double(10e-12)
+    splref = _exact_double(2e-5)
+    return f"""
+WITH {DUCKDB_DOCS_CTE.strip()},
+meta AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST((n_tok + {n} + ((({n} - n_tok) % {hop} + {hop}) % {hop} % {n})
+               - {hop}) // {hop} AS INT) AS n_segs
+  FROM docs WHERE n_tok >= {n}
+),
+segs AS (
+  SELECT doc_id, tokens, n_tok, n_segs,
+         CAST(unnest(range(n_segs)) AS INT) AS s
+  FROM meta
+),
+basis(k, t, wc, ws) AS (VALUES {basis}),
+frq(k, f) AS (VALUES {frq_lits}),
+bankw(b, k, w) AS (VALUES {bankw}),
+bands(b, zw) AS (VALUES {bands}),
+tdom AS (
+  SELECT doc_id, s, n_segs,
+         CAST(list_sum(list_transform(range({n}), t ->
+           CASE WHEN {hop}*s - {hop} + t BETWEEN 0 AND n_tok - 1
+                THEN CAST(tokens[{hop}*s - {hop} + t + 1] AS BIGINT)
+                     * tokens[{hop}*s - {hop} + t + 1]
+                ELSE 0 END)) AS DOUBLE) AS energy
+  FROM segs
+),
+spec AS (
+  SELECT g.doc_id, g.s, g.n_segs, b.k,
+         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
+                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
+                  ELSE 0.0 END * b.wc) AS re,
+         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
+                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
+                  ELSE 0.0 END * b.ws) AS im
+  FROM segs g CROSS JOIN basis b
+  GROUP BY g.doc_id, g.s, g.n_segs, b.k
+),
+mag AS (
+  SELECT doc_id, s, n_segs, k,
+         sqrt((re/{norm_c}*2)*(re/{norm_c}*2)
+              + (im/{norm_c}*2)*(im/{norm_c}*2)) AS m
+  FROM spec
+),
+mtot AS (
+  SELECT doc_id, s, n_segs,
+         CASE WHEN sum(m) = 0 THEN 1.0 ELSE sum(m) END AS tot,
+         sum((m/{splref})*(m/{splref})) AS pw
+  FROM mag GROUP BY doc_id, s, n_segs
+),
+cen0 AS (
+  SELECT m.doc_id, m.s, sum(f.f * m.m / t.tot) AS centroid
+  FROM mag m JOIN frq f USING (k)
+  JOIN mtot t ON t.doc_id = m.doc_id AND t.s = m.s
+  GROUP BY m.doc_id, m.s
+),
+cen AS (
+  SELECT m.doc_id, m.s, c0.centroid,
+         sqrt(sum((f.f - c0.centroid) * (f.f - c0.centroid)
+                  * m.m / t.tot)) AS spread
+  FROM mag m JOIN frq f USING (k)
+  JOIN mtot t ON t.doc_id = m.doc_id AND t.s = m.s
+  JOIN cen0 c0 ON c0.doc_id = m.doc_id AND c0.s = m.s
+  GROUP BY m.doc_id, m.s, c0.centroid
+),
+moments AS (
+  SELECT m.doc_id, m.s, c.centroid, c.spread,
+         sum(pow((f.f - c.centroid)
+                 / (CASE WHEN c.spread = 0 THEN 1.0 ELSE c.spread END), 3)
+             * m.m / t.tot) AS skewness,
+         sum(pow((f.f - c.centroid)
+                 / (CASE WHEN c.spread = 0 THEN 1.0 ELSE c.spread END), 4)
+             * m.m / t.tot) AS kurtosis
+  FROM mag m JOIN frq f USING (k)
+  JOIN mtot t ON t.doc_id = m.doc_id AND t.s = m.s
+  JOIN cen c ON c.doc_id = m.doc_id AND c.s = m.s
+  GROUP BY m.doc_id, m.s, c.centroid, c.spread
+),
+grad AS (
+  SELECT doc_id, s, n_segs,
+         CASE WHEN s = 0 THEN lead(m) OVER wk - m
+              WHEN s = n_segs - 1 THEN m - lag(m) OVER wk
+              ELSE (lead(m) OVER wk - lag(m) OVER wk) / 2.0 END AS gr
+  FROM mag
+  WINDOW wk AS (PARTITION BY doc_id, k ORDER BY s)
+),
+flux AS (
+  SELECT doc_id, s, sum(greatest(gr, 0.0)) AS flux
+  FROM grad GROUP BY doc_id, s
+),
+cbr AS (
+  SELECT m.doc_id, m.s, bw.b, sum(m.m * bw.w) AS cbr
+  FROM mag m JOIN bankw bw USING (k)
+  GROUP BY m.doc_id, m.s, bw.b
+),
+cball AS (
+  SELECT ds.doc_id, ds.s, bd.b, bd.zw, coalesce(c.cbr, 0.0) AS cbr,
+         pow(10.0 * log10(greatest(coalesce(c.cbr, 0.0), {ref}) / {ref}),
+             0.23) AS ls
+  FROM (SELECT DISTINCT doc_id, s FROM segs) ds
+  CROSS JOIN bands bd
+  LEFT JOIN cbr c ON c.doc_id = ds.doc_id AND c.s = ds.s AND c.b = bd.b
+),
+loud AS (
+  SELECT doc_id, s,
+         sum(ls) AS loudness,
+         sum(cbr * zw) AS sharp_num,
+         sum(greatest(ls, {eps})) AS loud_part
+  FROM cball GROUP BY doc_id, s
+),
+sharp AS (
+  SELECT doc_id, s, loudness,
+         sharp_num / sum(loud_part) OVER (PARTITION BY doc_id) AS sharpness
+  FROM loud
+)
+SELECT t.doc_id, t.s AS seg_idx,
+       CAST({hop} * t.s AS BIGINT) AS center,
+       CAST({hop} * t.s AS BIGINT) / {fps}.0 AS ts,
+       round(t.energy, 6) AS energy,
+       round(sqrt(t.energy / {n}), 6) AS rms,
+       round(CASE WHEN t.energy > 0
+                  THEN 20 * log10(sqrt(t.energy / {n}) / {splref})
+                  ELSE 0.0 END, 6) AS spl,
+       round(mo.centroid, 6) AS centroid,
+       round(mo.spread, 6) AS spread,
+       round(mo.skewness, 6) AS skewness,
+       round(mo.kurtosis, 6) AS kurtosis,
+       round(fl.flux, 6) AS flux,
+       round(10.0 * log10(greatest(1.0, mt.pw)), 6) AS fspl,
+       round(sh.loudness, 6) AS loudness,
+       round(sh.sharpness, 6) AS sharpness
+FROM tdom t
+JOIN moments mo ON mo.doc_id = t.doc_id AND mo.s = t.s
+JOIN flux fl ON fl.doc_id = t.doc_id AND fl.s = t.s
+JOIN mtot mt ON mt.doc_id = t.doc_id AND mt.s = t.s
+JOIN sharp sh ON sh.doc_id = t.doc_id AND sh.s = t.s
 """
 
 
@@ -2197,6 +2393,7 @@ FROM ranked WHERE rn = 1
         "peak_scan": _peak_scan_sql(),
         "hmm_estep": _hmm_estep_sql(),
         "onsets": _onsets_sql(),
+        "features_battery": _features_battery_sql(),
         # exact duplicate-passage spans: md5 content keys are
         # byte-identical cross-engine; DuckDB range() end is exclusive
         # where Spark sequence() is inclusive, hence the +1
