@@ -961,9 +961,28 @@ def _q_media_features(spark, sf_dir):
 
 
 def _q_nonlinear(spark, sf_dir):
+    """Per-doc nonlinear battery, value-oracled since r04: the
+    windowed-correlogram mean (max(corrcoef,0)^4 over 4 delays,
+    features.py:76-119), acf lag-1 and the first-negative-acf lag all
+    replay in SQL (_nonlinear_sql). The cdim column is projected away:
+    the Bader kernel needs >= 2400 samples (signal/cdim.c:172-177) and
+    the contract corpus tops out at 99 tokens, so it is constant NaN
+    here — zero information, NaN/NULL hashing undefined cross-engine;
+    cdim itself stays behaviorally pytest-verified
+    (tests/test_kernels_extra.py). acf_min_lag note: the engine reads
+    signs off the FFT acf while the oracle uses exact integer lag sums
+    — non-negative token signals make every lag sum >= 0 and the
+    measured |acf| floor at sf0.1 is 6e-6, five decades above FFT
+    noise, so the integer column is stable (verified value-exact at
+    sf0.001/0.01/0.1)."""
     from apollon_spark.nonlinear import extract_nonlinear
     docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 64)
-    return extract_nonlinear(docs, corr_wlen=10, corr_delay=5)
+    out = extract_nonlinear(docs, corr_wlen=10, corr_delay=5)
+    return out.select(
+        "doc_id",
+        F.round("correlogram", 6).alias("correlogram"),
+        F.round("acf_lag1", 6).alias("acf_lag1"),
+        "acf_min_lag")
 
 
 def _q_ivf_ann(spark, sf_dir):
@@ -1301,6 +1320,87 @@ SELECT doc_id, seg_idx, center,
                   THEN 20 * log10(sqrt(energy / 32) / 2e-5)
                   ELSE 0.0 END, 6) AS spl
 FROM agg
+"""
+
+
+def _nonlinear_sql(wlen: int = 10, n_delay: int = 5) -> str:
+    """nonlinear oracle: windowed correlogram (sliding window means /
+    centered sum-of-squares / lagged covariances as bounded
+    list_transform sums — wlen=10 keeps each term a 10-element fold),
+    acf lag-1 as the EXACT integer ratio sum(x_t*x_{t+1})/sum(x_t^2)
+    (the engine's FFT acf differs by ~1e-12, absorbed by the 6dp
+    rounding both sides apply), and first-negative-lag via exact
+    integer lag sums. O(n_tok * wlen * n_delay) per doc plus one
+    O(n_tok^2) sign scan — gate-scale docs are <= 99 tokens."""
+    return f"""
+WITH {DUCKDB_DOCS_CTE.strip()},
+d AS (SELECT doc_id, tokens, n_tok FROM docs WHERE n_tok >= 64),
+w AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST(unnest(range(n_tok - {wlen} + 1)) AS INT) AS t
+  FROM d
+),
+ws AS (
+  SELECT doc_id, n_tok, t,
+         list_sum(list_transform(range({wlen}),
+             i -> CAST(tokens[t + i + 1] AS DOUBLE))) / {wlen} AS m
+  FROM w
+),
+ws2 AS (
+  SELECT w.doc_id, w.n_tok, w.t, s.m,
+         list_sum(list_transform(range({wlen}),
+             i -> (CAST(w.tokens[w.t + i + 1] AS DOUBLE) - s.m)
+                  * (CAST(w.tokens[w.t + i + 1] AS DOUBLE) - s.m))) AS ss
+  FROM w JOIN ws s ON s.doc_id = w.doc_id AND s.t = w.t
+),
+pairs AS (
+  SELECT w.doc_id, w.t, dd.d, b.ss AS ss1, l.ss AS ss2,
+         list_sum(list_transform(range({wlen}),
+             i -> (CAST(w.tokens[w.t + i + 1] AS DOUBLE) - b.m)
+                  * (CAST(w.tokens[w.t + dd.d + i + 1] AS DOUBLE) - l.m)))
+           AS cov
+  FROM w
+  CROSS JOIN (SELECT unnest(range(1, {n_delay})) AS d) dd
+  JOIN ws2 b ON b.doc_id = w.doc_id AND b.t = w.t
+  JOIN ws2 l ON l.doc_id = w.doc_id AND l.t = w.t + dd.d
+  WHERE w.t < w.n_tok - {wlen} - {n_delay}
+),
+corr AS (
+  SELECT doc_id,
+         sum(pow(greatest(CASE WHEN sqrt(ss1 * ss2) > 0
+                               THEN cov / sqrt(ss1 * ss2)
+                               ELSE 0.0 END, 0.0), 4))
+           / count(*) AS correlogram
+  FROM pairs GROUP BY doc_id
+),
+acf1 AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(n_tok),
+              i -> CAST(tokens[i + 1] AS BIGINT) * tokens[i + 1]))
+           AS DOUBLE) AS s0,
+         CAST(list_sum(list_transform(range(n_tok - 1),
+              i -> CAST(tokens[i + 1] AS BIGINT) * tokens[i + 2]))
+           AS DOUBLE) AS s1
+  FROM d
+),
+neg AS (
+  SELECT x.doc_id, min(x.k) AS min_lag
+  FROM (
+    SELECT d.doc_id, CAST(unnest(range(1, d.n_tok)) AS INT) AS k,
+           d.tokens, d.n_tok
+    FROM d
+  ) x
+  WHERE list_sum(list_transform(range(x.n_tok - x.k),
+          i -> CAST(x.tokens[i + 1] AS BIGINT) * x.tokens[i + x.k + 1])) < 0
+  GROUP BY x.doc_id
+)
+SELECT c.doc_id,
+       round(c.correlogram, 6) AS correlogram,
+       round(CASE WHEN a.s0 = 0 THEN 0.0 ELSE a.s1 / a.s0 END, 6) AS acf_lag1,
+       CAST(coalesce(n.min_lag, -1) AS INT) AS acf_min_lag
+FROM corr c
+JOIN acf1 a USING (doc_id)
+LEFT JOIN neg n USING (doc_id)
 """
 
 
@@ -2394,6 +2494,7 @@ FROM ranked WHERE rn = 1
         "hmm_estep": _hmm_estep_sql(),
         "onsets": _onsets_sql(),
         "features_battery": _features_battery_sql(),
+        "nonlinear": _nonlinear_sql(),
         # exact duplicate-passage spans: md5 content keys are
         # byte-identical cross-engine; DuckDB range() end is exclusive
         # where Spark sequence() is inclusive, hence the +1

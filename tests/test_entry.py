@@ -92,6 +92,15 @@ def test_literal_oracle_values_are_bit_exact(spark, sf_dir, ddb):
         entrymod.oracle_sql()["media_features"]).fetchdf())
     assert got["value"].tolist() == want["value"].tolist()
 
+    # onsets output is integer-derived (frame = hop*win_id, time =
+    # frame/fps): the oracle must match TUPLE-exact, not just within
+    # atol — a set difference means a peak decision flipped.
+    got = entrymod.queries()["onsets"](spark, sf_dir).toPandas()
+    want = ddb.execute(entrymod.oracle_sql()["onsets"]).fetchdf()
+    gset = sorted(map(tuple, got[sorted(got.columns)].itertuples(index=False)))
+    wset = sorted(map(tuple, want[sorted(want.columns)].itertuples(index=False)))
+    assert gset == wset
+
     from apollon_spark.ml.simsearch import hyperplanes
     for planes in (hyperplanes(64, 4, 11),
                    np.random.default_rng(11).standard_normal((48, 64))):
