@@ -83,3 +83,28 @@ def test_generic_bucketed_job_resume(spark, tmp_path):
     # output is readable as one partitioned dataset
     got = spark.read.parquet(out + "/textstats").count()
     assert got == 12
+
+
+def test_ingest_roundtrip_token_equality(spark, tmp_path, sf_dir):
+    """The north-rule per-row invariant: the ingested table (plain
+    parquet AND the doc_id-bucketed layout) preserves every token
+    array EXACTLY — integer-for-integer equality against the source
+    derivation, not just counts."""
+    from apollon_spark import storage
+    from apollon_spark.tokenize import docs_from_documents
+
+    src = docs_from_documents(spark, sf_dir)
+    want = {r["doc_id"]: list(r["tokens"]) for r in src.collect()}
+
+    plain = str(tmp_path / "ingest_plain")
+    storage.write_table(src, plain)
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in storage.read_table(spark, plain).collect()}
+    assert got == want
+
+    storage.write_bucketed(src, "ingest_tok_eq", ["doc_id"], 4,
+                           sort_cols=["n_tok"],
+                           path=str(tmp_path / "ingest_bucketed"))
+    got_b = {r["doc_id"]: list(r["tokens"])
+             for r in spark.table("ingest_tok_eq").collect()}
+    assert got_b == want
