@@ -251,12 +251,14 @@ def vocab_stats(docs: DataFrame, top_k: int = 32) -> DataFrame:
     # The global rank window is deliberate: it runs on the
     # POST-aggregate table, which is vocab-sized (≤ |vocab| rows, not
     # corpus-sized), so single-partition is the right plan. Partition
-    # by a constant instead of leaving partitionSpec empty: same
-    # single-partition execution, but it silences Spark's "No
-    # Partition Defined for Window" warning so a real
+    # by a constant-VALUED but non-foldable expression: a plain
+    # F.lit(0) is constant-folded out of the partitionSpec by Catalyst
+    # (measured — the "No Partition Defined for Window" warning still
+    # fires), while pmod(hash(token), 1) is always 0 yet survives
+    # optimization, keeping the spec non-empty so a real
     # unpartitioned-window-on-big-data bug can't hide behind expected
-    # noise.
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    # warning noise.
+    w = Window.partitionBy(F.pmod(F.hash("token"), F.lit(1))).orderBy(
         F.col("n_occur").desc(), F.col("token").asc())
     return (stats.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_k)
