@@ -143,7 +143,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "bmu_fixed", "hmm", "ann_rerank",
              "pack_sequences", "contamination", "sample_stratified",
              "vocab_topk", "dup_clusters", "peak_scan", "hmm_estep",
-             "dup_passages"]
+             "dup_passages", "nonlinear"]
+    # late-r04 gate-definition notes: features_battery gained a
+    # 6dp-round projection and dropped the constant-NaN entropy column
+    # (value-oracle conversion; same UDF work, negligible timing
+    # delta), nonlinear is newly timed (value-oracled late r04) and
+    # excluded from every comparable subtotal below.
     qs = entrymod.queries()
     # the registry consolidated near-duplicate gates (asof strategies
     # r02; cosine_neardup_lsh -> cosine_neardup and ann_rerank ->
@@ -223,7 +228,7 @@ def main() -> None:
     # entries in the old suites, so including the merged timing only
     # under-counts our side (conservative).
     R03_GROWN = {"docs_profile", "locf", "lag_delta", "text_profile"}
-    R04_ADDED = {"peak_scan", "hmm_estep", "dup_passages"}
+    R04_ADDED = {"peak_scan", "hmm_estep", "dup_passages", "nonlinear"}
     r01_subset = round(sum(v for k, v in queries.items()
                            if k not in R02_ADDED | R03_ADDED | R03_GROWN
                            | R04_ADDED), 3)
