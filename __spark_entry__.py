@@ -772,24 +772,26 @@ def _q_peak_scan(spark, sf_dir):
 
 
 def _q_hmm_estep(spark, sf_dir):
-    """The Poisson-HMM E-step (reference hmm/poisson.py:78-98) on
-    FIXED (λ,Γ,δ) value-oracled per (doc, t): scaled forward variables,
-    scale factors and smoothed posteriors from the REAL forward-
-    backward recurrences (apollon_spark/hmm.py estep_posteriors_m2).
-    The emission table is a finite 256×2 literal (the log-factorial
-    cancels out of the row-max normalization), embedded bit-exactly in
-    the oracle via mantissa·2^exp literals; the forward and backward
-    recursions are DuckDB recursive CTEs — the som_train unrolling
-    precedent applied to EM inference (VERDICT r03 #1b)."""
-    from apollon_spark.hmm import estep_docs
+    """ONE FULL EM iteration of the Poisson HMM on FIXED (λ,Γ,δ),
+    value-oracled: per (doc, t) the scaled forward variables, scale
+    factors and smoothed posteriors from the REAL forward-backward
+    recurrences (apollon_spark/hmm.py estep_posteriors_m2, reference
+    hmm/poisson.py:78-98), PLUS — since late r04 — the M-STEP update
+    (λ', Γ', δ') and the iteration's log-likelihood (em_update_m2;
+    poisson_em's exact update formulas, reference
+    hmm/poisson.py:100-118) as per-doc columns. The emission and
+    row-max tables are finite 256-entry literals embedded bit-exactly
+    via mantissa·2^exp; the recursions are recursive CTEs and the
+    M-step is pure aggregation over them — the som_train unrolling
+    precedent applied to EM TRAINING, not just inference (VERDICT r03
+    #1b, extended). Docs need n_tok >= 2 (the ξ transition sums are
+    empty at T=1; poisson_em itself degenerates there)."""
+    from apollon_spark.hmm import EM_STEP_COLS, em_step_docs
     docs = _docs(spark, sf_dir)
-    out = estep_docs(docs, _ESTEP_LAM, _ESTEP_GAMMA, _ESTEP_DELTA)
+    out = em_step_docs(docs, _ESTEP_LAM, _ESTEP_GAMMA, _ESTEP_DELTA)
+    cols = ["alpha0", "cscale", "post0", "post1"] + EM_STEP_COLS
     return out.select(
-        "doc_id", "t",
-        F.round("alpha0", 6).alias("alpha0"),
-        F.round("cscale", 6).alias("cscale"),
-        F.round("post0", 6).alias("post0"),
-        F.round("post1", 6).alias("post1"))
+        "doc_id", "t", *[F.round(c, 6).alias(c) for c in cols])
 
 
 # --- spectral / iterative gates. The rows-only ones (no oracle_sql
@@ -1805,19 +1807,34 @@ WHERE c.cond12 = 1 AND s.cond3 = 1
 
 
 def _hmm_estep_sql() -> str:
-    """hmm_estep oracle: the scaled forward-backward smoother on fixed
-    (λ,Γ,δ) replayed in SQL. The 256-row emission table (row-max-
-    normalized Poisson likelihoods; the log-factorial cancels) is
-    embedded via ``_exact_double`` mantissa·2^exp literals — the SAME
-    float64s the Spark workers look up, so no cross-engine exp/log.
-    Forward (t ascending) and backward (t descending) recursions are
-    recursive CTEs in the exact IEEE operation order of
-    ``estep_posteriors_m2``; posteriors, forward variables and scale
-    factors round to 6 decimals on both sides."""
-    from apollon_spark.hmm import estep_b_table
+    """hmm_estep oracle: ONE FULL EM iteration on fixed (λ,Γ,δ)
+    replayed in SQL. The 256-row emission table (row-max-normalized
+    Poisson likelihoods; the log-factorial cancels) AND the row-max
+    log-pmf table bmax(x) (for the true log-likelihood) are embedded
+    via ``_exact_double`` mantissa·2^exp literals — the SAME float64s
+    the Spark workers look up, so no cross-engine exp/log in the
+    E-step. Forward (t ascending) and backward (t descending)
+    recursions are recursive CTEs in the exact IEEE operation order of
+    ``estep_posteriors_m2``; the M-step (em_update_m2 / poisson_em's
+    update formulas) is pure aggregation on top: ξ transition sums
+    join (t, t+1), λ' is the posterior-weighted token mean with the
+    1e-300 guard, δ' reads the t=0 posteriors, and
+    ll = Σ ln(c) + Σ bmax(x). Everything rounds to 6 decimals on both
+    sides (the only runtime cross-engine math is +,*,/ and ln).
+
+    MATERIALIZED matters here: DuckDB inlines CTEs by default, so a
+    recursive CTE referenced inside ANOTHER recursion (bwd joins fwd
+    every iteration) is recomputed from scratch each iteration —
+    quadratic in max doc length and ~340x slower at sf0.01 (180s vs
+    0.5s measured). xb is pinned before the recursions and fwd/bwd
+    get materialized snapshots (fwdm/bwdm) that all downstream
+    consumers read."""
+    from apollon_spark.hmm import estep_b_table, estep_bmax_table
     btab = estep_b_table(_ESTEP_LAM)
+    bmax_tab = estep_bmax_table(_ESTEP_LAM)
     bvals = ",".join(
-        f"({x}, {_exact_double(btab[x, 0])}, {_exact_double(btab[x, 1])})"
+        f"({x}, {_exact_double(btab[x, 0])}, {_exact_double(btab[x, 1])},"
+        f" {_exact_double(bmax_tab[x])})"
         for x in range(btab.shape[0]))
     (g00, g01), (g10, g11) = (
         (_exact_double(v) for v in row) for row in _ESTEP_GAMMA)
@@ -1827,11 +1844,12 @@ WITH RECURSIVE {DUCKDB_DOCS_CTE.strip()},
 xs AS (
   SELECT doc_id, CAST(generate_subscripts(tokens,1)-1 AS INT) AS t,
          unnest(tokens) AS x, n_tok
-  FROM docs
+  FROM docs WHERE n_tok >= 2
 ),
-btab(x, b0, b1) AS (VALUES {bvals}),
-xb AS (SELECT xs.doc_id, xs.t, xs.n_tok, b.b0, b.b1
-       FROM xs JOIN btab b USING (x)),
+btab(x, b0, b1, bm) AS (VALUES {bvals}),
+xb AS MATERIALIZED (
+  SELECT xs.doc_id, xs.t, xs.n_tok, xs.x, b.b0, b.b1, b.bm
+  FROM xs JOIN btab b USING (x)),
 fwd AS (
   SELECT doc_id, t,
          ({d0}*b0)+({d1}*b1) AS c,
@@ -1850,6 +1868,7 @@ fwd AS (
               + ((f.a0*{g01} + f.a1*{g11})*x.b1)) AS a1
   FROM fwd f JOIN xb x ON x.doc_id = f.doc_id AND x.t = f.t + 1
 ),
+fwdm AS MATERIALIZED (SELECT * FROM fwd),
 bwd AS (
   SELECT doc_id, t, 1.0::DOUBLE AS be0, 1.0::DOUBLE AS be1
   FROM xs WHERE t = n_tok - 1
@@ -1859,15 +1878,59 @@ bwd AS (
          ({g10}*(x.b0*bw.be0) + {g11}*(x.b1*bw.be1)) / f.c AS be1
   FROM bwd bw
   JOIN xb x ON x.doc_id = bw.doc_id AND x.t = bw.t
-  JOIN fwd f ON f.doc_id = bw.doc_id AND f.t = bw.t
+  JOIN fwdm f ON f.doc_id = bw.doc_id AND f.t = bw.t
   WHERE bw.t > 0
+),
+bwdm AS MATERIALIZED (SELECT * FROM bwd),
+posts AS MATERIALIZED (
+  SELECT f.doc_id, f.t, f.a0, f.a1, f.c, b.be0, b.be1,
+         (f.a0*b.be0)/((f.a0*b.be0)+(f.a1*b.be1)) AS post0,
+         (f.a1*b.be1)/((f.a0*b.be0)+(f.a1*b.be1)) AS post1
+  FROM fwdm f JOIN bwdm b ON b.doc_id = f.doc_id AND b.t = f.t
+),
+trans AS (
+  -- xi transition sums S_ij = sum_t a_i[t] * (b_j[t+1]*be_j[t+1]/c[t+1])
+  SELECT f.doc_id,
+         sum(f.a0 * (x2.b0 * p2.be0 / p2.c)) AS s00,
+         sum(f.a0 * (x2.b1 * p2.be1 / p2.c)) AS s01,
+         sum(f.a1 * (x2.b0 * p2.be0 / p2.c)) AS s10,
+         sum(f.a1 * (x2.b1 * p2.be1 / p2.c)) AS s11
+  FROM fwdm f
+  JOIN xb x2 ON x2.doc_id = f.doc_id AND x2.t = f.t + 1
+  JOIN posts p2 ON p2.doc_id = f.doc_id AND p2.t = f.t + 1
+  GROUP BY f.doc_id
+),
+upd AS (
+  SELECT p.doc_id,
+         sum(p.post0 * x.x) / greatest(sum(p.post0), 1e-300) AS lam0_next,
+         sum(p.post1 * x.x) / greatest(sum(p.post1), 1e-300) AS lam1_next,
+         max(CASE WHEN p.t = 0 THEN p.post0 END) AS delta0_next,
+         max(CASE WHEN p.t = 0 THEN p.post1 END) AS delta1_next,
+         sum(ln(p.c)) + sum(x.bm) AS ll
+  FROM posts p JOIN xb x ON x.doc_id = p.doc_id AND x.t = p.t
+  GROUP BY p.doc_id
 )
-SELECT f.doc_id, f.t,
-       round(f.a0, 6) AS alpha0,
-       round(f.c, 6) AS cscale,
-       round((f.a0*b.be0)/((f.a0*b.be0)+(f.a1*b.be1)), 6) AS post0,
-       round((f.a1*b.be1)/((f.a0*b.be0)+(f.a1*b.be1)), 6) AS post1
-FROM fwd f JOIN bwd b ON b.doc_id = f.doc_id AND b.t = f.t
+SELECT p.doc_id, p.t,
+       round(p.a0, 6) AS alpha0,
+       round(p.c, 6) AS cscale,
+       round(p.post0, 6) AS post0,
+       round(p.post1, 6) AS post1,
+       round(u.lam0_next, 6) AS lam0_next,
+       round(u.lam1_next, 6) AS lam1_next,
+       round(({g00}*t2.s00) / (({g00}*t2.s00) + ({g01}*t2.s01)), 6)
+         AS g00_next,
+       round(({g01}*t2.s01) / (({g00}*t2.s00) + ({g01}*t2.s01)), 6)
+         AS g01_next,
+       round(({g10}*t2.s10) / (({g10}*t2.s10) + ({g11}*t2.s11)), 6)
+         AS g10_next,
+       round(({g11}*t2.s11) / (({g10}*t2.s10) + ({g11}*t2.s11)), 6)
+         AS g11_next,
+       round(u.delta0_next, 6) AS delta0_next,
+       round(u.delta1_next, 6) AS delta1_next,
+       round(u.ll, 6) AS ll
+FROM posts p
+JOIN upd u ON u.doc_id = p.doc_id
+JOIN trans t2 ON t2.doc_id = p.doc_id
 """
 
 

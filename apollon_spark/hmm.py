@@ -290,20 +290,13 @@ def estep_b_table(lam, max_x: int = 255) -> np.ndarray:
     return np.exp(logb - logb.max(axis=1, keepdims=True))
 
 
-def estep_posteriors_m2(x: np.ndarray, btab: np.ndarray,
-                        gamma, delta) -> tuple[np.ndarray, ...]:
-    """Scaled forward-backward E-step for m=2 states on FIXED (λ via
-    ``btab``, Γ, δ): returns (alpha0, c, post0, post1) per timestep —
-    the scaled forward variable for state 0, the per-step scale
-    factors, and the smoothed posteriors (reference hmm/poisson.py:78-98;
-    identical recurrences to ``poisson_em``'s E-step, minus the
-    factorial constant that cancels in every output).
-
-    Arithmetic is written out scalar-by-scalar in a FIXED operation
-    order (no np.dot / .sum()) so the DuckDB oracle can replay the
-    exact IEEE sequence: q_j = (a0·g0j + a1·g1j)·b_j, c = q_0 + q_1,
-    a_j = q_j / c; β_i = (g_i0·(b_0β_0) + g_i1·(b_1β_1)) / c;
-    post_i = a_iβ_i / (a_0β_0 + a_1β_1)."""
+def _estep_full_m2(x: np.ndarray, btab: np.ndarray,
+                   gamma, delta) -> tuple[np.ndarray, ...]:
+    """The m=2 scalar-order E-step with every intermediate exposed:
+    (a0, a1, c, be0, be1, b0, b1, p0, p1). Shared by
+    ``estep_posteriors_m2`` (same operation sequence as before the
+    split) and ``em_update_m2`` (which also needs b/β for the ξ
+    sums)."""
     x = assert_poisson_input(np.asarray(x))
     T = x.size
     (g00, g01), (g10, g11) = gamma
@@ -336,7 +329,79 @@ def estep_posteriors_m2(x: np.ndarray, btab: np.ndarray,
     n0 = a0 * be0
     n1 = a1 * be1
     s = n0 + n1
-    return a0, c, n0 / s, n1 / s
+    return a0, a1, c, be0, be1, b0, b1, n0 / s, n1 / s
+
+
+def estep_posteriors_m2(x: np.ndarray, btab: np.ndarray,
+                        gamma, delta) -> tuple[np.ndarray, ...]:
+    """Scaled forward-backward E-step for m=2 states on FIXED (λ via
+    ``btab``, Γ, δ): returns (alpha0, c, post0, post1) per timestep —
+    the scaled forward variable for state 0, the per-step scale
+    factors, and the smoothed posteriors (reference hmm/poisson.py:78-98;
+    identical recurrences to ``poisson_em``'s E-step, minus the
+    factorial constant that cancels in every output).
+
+    Arithmetic is written out scalar-by-scalar in a FIXED operation
+    order (no np.dot / .sum()) so the DuckDB oracle can replay the
+    exact IEEE sequence: q_j = (a0·g0j + a1·g1j)·b_j, c = q_0 + q_1,
+    a_j = q_j / c; β_i = (g_i0·(b_0β_0) + g_i1·(b_1β_1)) / c;
+    post_i = a_iβ_i / (a_0β_0 + a_1β_1)."""
+    a0, _a1, c, _be0, _be1, _b0, _b1, p0, p1 = _estep_full_m2(
+        x, btab, gamma, delta)
+    return a0, c, p0, p1
+
+
+def estep_bmax_table(lam, max_x: int = 255) -> np.ndarray:
+    """(max_x+1,) table of the per-observation row-max log pmf
+    bmax(x) = max_j(x·log λ_j − λ_j) − log(x!) — the constant
+    ``estep_b_table`` divides out. ``em_update_m2`` adds it back for
+    the true log-likelihood (poisson_em's ll = Σ log c + Σ bmax),
+    and the oracle gate embeds the same doubles as exact literals."""
+    lam = np.asarray(lam, dtype="float64")
+    xs = np.arange(max_x + 1, dtype="int64")
+    logb = _log_poisson_pmf(xs, lam)
+    return logb.max(axis=1)
+
+
+def em_update_m2(x: np.ndarray, btab: np.ndarray, bmax_tab: np.ndarray,
+                 gamma, delta) -> dict:
+    """ONE full EM iteration on fixed (λ via ``btab``/``bmax_tab``,
+    Γ, δ) for m=2: the M-step update (λ', Γ', δ') and the iteration's
+    log-likelihood, exactly poisson_em's update formulas
+    (hmm.py:162-170; reference hmm/poisson.py:100-118) applied to the
+    scalar-order E-step:
+
+      S_ij = Σ_{t<T-1} a_i[t]·(b_j[t+1]·β_j[t+1]/c[t+1]);
+      ξ_ij = γ_ij·S_ij;  γ'_ij = ξ_ij / (ξ_i0 + ξ_i1)
+      λ'_j = Σ_t post_j[t]·x_t / max(Σ_t post_j[t], 1e-300)
+      δ'_j = post_j[0];  ll = Σ_t log c_t + Σ_t bmax(x_t)
+
+    pytest asserts allclose against poisson_em(max_iter=1)'s pre-sort
+    state. Needs T >= 2 (the ξ sums are empty at T=1 and poisson_em
+    itself degenerates to 0/0 there)."""
+    x = assert_poisson_input(np.asarray(x))
+    if x.size < 2:
+        raise ValueError("em_update_m2 needs at least 2 observations")
+    a0, a1, c, be0, be1, b0, b1, p0, p1 = _estep_full_m2(
+        x, btab, gamma, delta)
+    (g00, g01), (g10, g11) = gamma
+    w0 = b0[1:] * be0[1:] / c[1:]
+    w1 = b1[1:] * be1[1:] / c[1:]
+    x00 = g00 * float(np.dot(a0[:-1], w0))
+    x01 = g01 * float(np.dot(a0[:-1], w1))
+    x10 = g10 * float(np.dot(a1[:-1], w0))
+    x11 = g11 * float(np.dot(a1[:-1], w1))
+    xf = np.asarray(x, dtype="float64")
+    w0sum = float(p0.sum())
+    w1sum = float(p1.sum())
+    return {
+        "lam0_next": float(np.dot(p0, xf)) / max(w0sum, 1e-300),
+        "lam1_next": float(np.dot(p1, xf)) / max(w1sum, 1e-300),
+        "g00_next": x00 / (x00 + x01), "g01_next": x01 / (x00 + x01),
+        "g10_next": x10 / (x10 + x11), "g11_next": x11 / (x10 + x11),
+        "delta0_next": float(p0[0]), "delta1_next": float(p1[0]),
+        "ll": float(np.log(c).sum() + bmax_tab[x].sum()),
+    }
 
 
 def estep_posteriors(x: np.ndarray, btab: np.ndarray,
@@ -420,6 +485,50 @@ def estep_docs(docs: DataFrame, lam, gamma, delta,
     return src.mapInPandas(
         gen, f"doc_id string, t int, alpha0 double, cscale double, "
              f"{post_cols}")
+
+
+EM_STEP_COLS = ["lam0_next", "lam1_next", "g00_next", "g01_next",
+                "g10_next", "g11_next", "delta0_next", "delta1_next", "ll"]
+
+
+def em_step_docs(docs: DataFrame, lam, gamma, delta,
+                 spread: bool = True) -> DataFrame:
+    """Per-doc E-step posteriors PLUS the one-iteration M-step update
+    on fixed (λ, Γ, δ), m=2 — one mapInPandas over (doc_id, tokens),
+    long-form (doc_id, t, alpha0, cscale, post0, post1) with the
+    per-doc update columns (λ', Γ', δ', ll — constant across the
+    doc's rows) appended. Docs with fewer than 2 tokens are skipped
+    (the ξ sums need a transition; poisson_em degenerates there too).
+    Same spread_compact policy as ``estep_docs``."""
+    btab = estep_b_table(lam)
+    bmax_tab = estep_bmax_table(lam)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype="int64")
+                if x.size < 2:
+                    continue
+                a0, c, p0, p1 = estep_posteriors_m2(x, btab, gamma, delta)
+                upd = em_update_m2(x, btab, bmax_tab, gamma, delta)
+                out.append(pd.DataFrame({
+                    "doc_id": np.repeat(doc_id, x.size),
+                    "t": np.arange(x.size, dtype="int32"),
+                    "alpha0": a0, "cscale": c, "post0": p0, "post1": p1,
+                    **{k: np.repeat(upd[k], x.size)
+                       for k in EM_STEP_COLS}}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    from .session import spread_compact
+    src = docs.select("doc_id", "tokens")
+    if spread:
+        src = spread_compact(src)
+    upd_cols = ", ".join(f"{k} double" for k in EM_STEP_COLS)
+    return src.mapInPandas(
+        gen, f"doc_id string, t int, alpha0 double, cscale double, "
+             f"post0 double, post1 double, {upd_cols}")
 
 
 # ---------------------------------------------------------------------------

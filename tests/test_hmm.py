@@ -209,3 +209,74 @@ def test_estep_docs_m3(spark):
     s = out["post0"] + out["post1"] + out["post2"]
     np.testing.assert_allclose(s.to_numpy(), 1.0, rtol=1e-12)
     assert out.iloc[2]["post2"] > 0.9        # 150 -> high-lambda state
+
+
+def test_em_update_matches_poisson_em_one_iter():
+    """em_update_m2 (the oracle gate's one-full-EM-iteration kernel)
+    reproduces poisson_em(max_iter=1): same lambda'/Gamma'/delta'
+    update and the same log-likelihood, modulo the b-table's
+    factorial-cancellation rounding (allclose 1e-9). Parameters are
+    chosen so the lambda ordering survives the update (poisson_em
+    sorts states ascending by lambda on return)."""
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.poisson(16.0, 40), rng.poisson(128.0, 40),
+                        rng.poisson(16.0, 20)]).astype("int64")
+    lam = (16.0, 128.0)
+    gamma = ((0.75, 0.25), (0.375, 0.625))
+    delta = (0.5, 0.5)
+    btab = hmm.estep_b_table(lam)
+    bmax_tab = hmm.estep_bmax_table(lam)
+    upd = hmm.em_update_m2(x, btab, bmax_tab, gamma, delta)
+    ref = hmm.poisson_em(x, 2, np.array(lam), np.array(gamma),
+                         np.array(delta), max_iter=1)
+    assert upd["lam0_next"] < upd["lam1_next"]  # ordering preserved
+    np.testing.assert_allclose(
+        [upd["lam0_next"], upd["lam1_next"]], ref["lambda"],
+        rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        [[upd["g00_next"], upd["g01_next"]],
+         [upd["g10_next"], upd["g11_next"]]], ref["gamma"],
+        rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        [upd["delta0_next"], upd["delta1_next"]], ref["delta"],
+        rtol=0, atol=1e-9)
+    np.testing.assert_allclose(-upd["ll"], ref["nll"], rtol=0, atol=1e-6)
+    # short-series contract
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hmm.em_update_m2(np.array([3]), btab, bmax_tab, gamma, delta)
+
+
+def test_em_step_docs_spark(spark):
+    """em_step_docs emits the estep columns bit-identical to
+    estep_docs plus per-doc-constant update columns; sub-2-token docs
+    are skipped."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "tiny"],
+        "tokens": [[5, 20, 140, 130, 7], [100, 120, 10], [9]]})
+    sdf = spark.createDataFrame(pdf)
+    lam = (16.0, 128.0)
+    gamma = ((0.75, 0.25), (0.375, 0.625))
+    delta = (0.5, 0.5)
+    full = hmm.em_step_docs(sdf, lam, gamma, delta).toPandas() \
+        .sort_values(["doc_id", "t"]).reset_index(drop=True)
+    est = hmm.estep_docs(sdf, lam, gamma, delta).toPandas()
+    est = est[est.doc_id != "tiny"] \
+        .sort_values(["doc_id", "t"]).reset_index(drop=True)
+    assert sorted(full.doc_id.unique()) == ["a", "b"]
+    for c in ["alpha0", "cscale", "post0", "post1"]:
+        assert full[c].tolist() == est[c].tolist()
+    for c in hmm.EM_STEP_COLS:  # constant per doc
+        assert full.groupby("doc_id")[c].nunique().max() == 1
+    # and the per-doc values equal the kernel's
+    btab = hmm.estep_b_table(lam)
+    bmax_tab = hmm.estep_bmax_table(lam)
+    for doc, toks in zip(pdf.doc_id, pdf.tokens):
+        if len(toks) < 2:
+            continue
+        upd = hmm.em_update_m2(np.asarray(toks), btab, bmax_tab,
+                               gamma, delta)
+        row = full[full.doc_id == doc].iloc[0]
+        for c in hmm.EM_STEP_COLS:
+            assert row[c] == upd[c], (doc, c)
