@@ -670,16 +670,38 @@ def _q_dup_passages(spark, sf_dir):
         .select("doc_id", "pos", "n_docs", "n_occur")
 
 
+def _q_cosine_semantic(spark, sf_dir):
+    """SemDeDup pair mining (Abbas et al., arXiv:2303.09540): route
+    every embedding to its nearest of 8 explicit centroids (= the
+    first 8 corpus vectors, the ``ivf_ann`` determinism device), then
+    exact cosine ONLY within clusters. Value-oracled end-to-end: the
+    DuckDB side re-derives routing (argmin with the same lowest-
+    cluster tiebreak) and scoring from the same parquet doubles.
+    Threshold-epsilon guard mirrors ``cosine_neardup``."""
+    import numpy as np
+    from apollon_spark.ml.semdedup import semantic_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    crows = emb.where(F.col("vec_id") < 8).orderBy("vec_id") \
+        .select("embedding").collect()
+    cents = np.array([r["embedding"] for r in crows], dtype="float64")
+    return semantic_dup_pairs(emb, 0.4, centroids=cents) \
+        .where(F.abs(F.col("cos_sim") - 0.4) > 1e-4) \
+        .select("id_a", "id_b", "cos_sim")
+
+
 def _q_cosine_neardup_all(spark, sf_dir):
-    """Registry consolidation (r04, 50-gate cap): brute-force and
-    LSH-mined embedding near-dup in ONE method-tagged gate — same
-    device as asof_strategies. Bench still times the halves
-    separately (bench.py)."""
+    """Registry consolidation (r04, 50-gate cap): brute-force,
+    LSH-mined and SemDeDup within-cluster embedding near-dup in ONE
+    method-tagged gate — same device as asof_strategies. Bench still
+    times the halves separately (bench.py)."""
     brute = _q_cosine_neardup(spark, sf_dir) \
         .select(F.lit("brute").alias("method"), "id_a", "id_b", "cos_sim")
     lsh = _q_cosine_neardup_lsh(spark, sf_dir) \
         .select(F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim")
-    return brute.unionByName(lsh)
+    sem = _q_cosine_semantic(spark, sf_dir) \
+        .select(F.lit("semantic").alias("method"), "id_a", "id_b",
+                "cos_sim")
+    return brute.unionByName(lsh).unionByName(sem)
 
 
 def _q_ann_all(spark, sf_dir):
@@ -2830,6 +2852,41 @@ WHERE cos_sim >= 0.2 AND abs(cos_sim - 0.2) > 1e-4
 )
 UNION ALL
 SELECT 'lsh' AS method, id_a, id_b, cos_sim FROM ({_cosine_lsh_sql()})
+UNION ALL
+SELECT 'semantic' AS method, id_a, id_b, cos_sim FROM (
+-- SemDeDup within-cluster pairs: centroids = the first 8 corpus
+-- vectors; L2 argmin routing (ties -> lowest cluster, matching
+-- np.argmin); exact cosine only inside clusters
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding
+           FROM embeddings),
+c AS (SELECT CAST(vec_id AS INT) AS cl, embedding AS cv
+      FROM embeddings WHERE vec_id < 8),
+d AS (SELECT e.id, c.cl,
+             list_sum(list_transform(range(1,{_EMB_DIM + 1}), i ->
+               (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+               * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) AS d2
+      FROM e CROSS JOIN c),
+assign AS MATERIALIZED (
+  SELECT id, cl FROM (
+    SELECT id, cl, row_number() OVER (PARTITION BY id
+                                      ORDER BY d2, cl) AS rn
+    FROM d) WHERE rn = 1),
+p AS (SELECT x.id AS id_a, y.id AS id_b,
+             unnest(ea.embedding) AS ax, unnest(eb.embedding) AS ay
+      FROM assign x
+      JOIN assign y ON x.cl = y.cl AND x.id < y.id
+      JOIN e ea ON ea.id = x.id
+      JOIN e eb ON eb.id = y.id),
+sims AS (
+  SELECT id_a, id_b,
+         round(sum(CAST(ax AS DOUBLE) * CAST(ay AS DOUBLE))
+               / (sqrt(sum(CAST(ax AS DOUBLE) * ax)) *
+                  sqrt(sum(CAST(ay AS DOUBLE) * ay))), 6) AS cos_sim
+  FROM p GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cos_sim FROM sims
+WHERE cos_sim >= 0.4 AND abs(cos_sim - 0.4) > 1e-4
+)
 """,
         "extend_energy": f"""
 {_W},

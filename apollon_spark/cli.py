@@ -24,7 +24,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stage", required=True,
                     choices=["features", "onsets", "hmm", "som",
                              "position", "export", "nonlinear",
-                             "dedup", "neardup", "ann", "textstats",
+                             "dedup", "neardup", "semdedup", "ann",
+                             "textstats",
                              "scrub", "ingest", "stream-neardup",
                              "pack", "sample", "contaminate", "cluster",
                              "passages", "stream-passages"])
@@ -62,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--n-queries", type=int, default=8,
                     help="ann: use the first N vectors as queries")
+    ap.add_argument("--n-clusters", type=int, default=64,
+                    help="semdedup: k-means cluster count (bounds the "
+                         "within-cluster quadratic; raise with corpus "
+                         "size)")
     ap.add_argument("--ingest-buckets", type=int, default=0,
                     help="ingest: bucket count for the co-located "
                          "docs layout (0 = plain parquet)")
@@ -129,7 +134,8 @@ def main(argv: list[str] | None = None) -> int:
                          "distributed (sources/wav.py) — the reference "
                          "CLI's audio-file surface")
     args = ap.parse_args(argv)
-    id_col = args.id_col or ("vec_id" if args.stage == "ann" else "doc_id")
+    id_col = args.id_col or ("vec_id" if args.stage in ("ann", "semdedup")
+                             else "doc_id")
 
     spark = get_spark(f"apollon-{args.stage}")
     if args.stage in ("ingest", "stream-neardup", "stream-passages"):
@@ -258,6 +264,22 @@ def main(argv: list[str] | None = None) -> int:
                 F.count("*"), F.countDistinct("doc_id")).first()
             print(json.dumps({"span_starts": n_spans,
                               "docs_hit": int(n_docs_hit or 0)}))
+    elif args.stage == "semdedup":
+        # SemDeDup (arXiv:2303.09540): k-means-partition the embedding
+        # space, mine near-dups within clusters only, keep the least-
+        # prototypical member per duplicate group. Input = vector table
+        # (--id-col/--vec-col, defaults vec_id/embedding).
+        from pyspark.sql import functions as F
+
+        from .ml.semdedup import semantic_dedup
+        out = semantic_dedup(docs, args.threshold,
+                             n_clusters=args.n_clusters,
+                             id_col=id_col, vec_col=args.vec_col)
+        storage.write_table(out, args.output)
+        written = storage.read_table(spark, args.output)
+        n, kept = written.select(F.count("*"), F.sum("keep")).first()
+        print(json.dumps({"vectors": n, "kept": int(kept),
+                          "dropped": n - int(kept)}))
     elif args.stage == "ann":
         # LSH top-k: input = vector table (--id-col, --vec-col; defaults
         # vec_id/embedding); queries = the first --n-queries vectors

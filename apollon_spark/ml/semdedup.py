@@ -1,0 +1,159 @@
+"""Semantic deduplication (SemDeDup) for embedding-bearing corpora.
+
+Implements the SemDeDup recipe (Abbas et al., "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540):
+k-means-partition the embedding space, search for near-duplicates ONLY
+within each cluster, and keep one representative per duplicate group —
+the member LEAST similar to its cluster centroid (the paper's
+"low-similarity-to-centroid" keep policy, which preserves the less
+prototypical, more diverse example).
+
+This is the semantic complement to the lexical miners in ``dedup.py``
+(MinHash/SimHash catch re-phrasings of the same bytes; SemDeDup catches
+paraphrases and translations that share no n-grams).
+
+Scale design (the whole point of the clustering step):
+- The quadratic pair search is confined to clusters; cost is
+  Σ |cluster|² instead of n². The paper runs ~100k clusters over
+  multi-billion-row corpora — cluster count is the knob that bounds
+  the per-bucket quadratic, exactly like bands/planes bound the LSH
+  miners in ``dedup.py``.
+- Centroids are tiny (k × dim) and broadcast; routing is ONE Arrow
+  pass over the corpus (no shuffle).
+- The within-cluster self-join runs on (id, cluster) KEYS ONLY;
+  embedding payloads are joined back once per surviving candidate
+  pair, never carried through the candidate shuffle — same discipline
+  as ``cosine_near_dups_lsh``.
+- Group resolution reuses ``connected_components`` at PAIR scale
+  (candidate-scale, not corpus-scale) and the verdict join back is
+  one id shuffle.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import connected_components
+from .simsearch import _cos_sim_udf, kmeans_centroids
+
+
+def semantic_assign(vectors: DataFrame, centroids: np.ndarray,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Route every vector to its nearest centroid (L2 argmin, ties ->
+    lowest cluster id — np.argmin convention, mirrored by the oracle's
+    ``row_number() ORDER BY d2, cl``) and score its cosine similarity
+    to that centroid (the keep-policy signal). One mapInPandas pass,
+    centroids broadcast: (id, cluster, centroid_sim)."""
+    cents = np.asarray(centroids, "float64")
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc = bc.value
+        cn = cc / np.maximum(np.linalg.norm(cc, axis=1, keepdims=True),
+                             1e-300)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, "float64") for v in pdf[vec_col]])
+            d2 = ((x[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+            cl = d2.argmin(axis=1).astype("int32")
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                                1e-300)
+            sim = np.einsum("ij,ij->i", xn, cn[cl])
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
+                                "cluster": cl, "centroid_sim": sim})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, "id long, cluster int, centroid_sim double")
+
+
+def semantic_dup_pairs(vectors: DataFrame, threshold: float,
+                       n_clusters: int = 8,
+                       centroids: np.ndarray | None = None,
+                       sample_size: int = 2048, seed: int = 13,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Within-cluster near-duplicate pairs: (cluster, id_a, id_b,
+    cos_sim) for every same-cluster pair with cosine >= ``threshold``.
+
+    ``centroids`` overrides the kmeans++ training with explicit
+    vectors, making the stage a deterministic function of its inputs —
+    the contract gate passes the first rows of the corpus so the SQL
+    oracle can re-derive routing and scoring exactly (same device as
+    ``ivf_candidates``/``som_train``).
+
+    Keys-only candidate mining: the (id, cluster) table is lazily
+    checkpointed before its self-join (else both join sides recompute
+    the routing scan), payloads join back once per pair."""
+    if centroids is None:
+        sample = np.stack([
+            np.asarray(r[0], "float64")
+            for r in vectors.select(vec_col).limit(sample_size).collect()])
+        centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+
+    v = vectors.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    keys = semantic_assign(vectors, centroids, id_col, vec_col) \
+        .select("id", "cluster").localCheckpoint(eager=False)
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.cluster").alias("cluster"),
+                     F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b")))
+    cand = (pairs
+            .join(v.select(F.col("id").alias("id_a"),
+                           F.col("v").alias("va")), "id_a")
+            .join(v.select(F.col("id").alias("id_b"),
+                           F.col("v").alias("vb")), "id_b"))
+    cos_sim = _cos_sim_udf()
+    return (cand.select("cluster", "id_a", "id_b",
+                        F.round(cos_sim("va", "vb"), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float,
+                   n_clusters: int = 8,
+                   centroids: np.ndarray | None = None,
+                   sample_size: int = 2048, seed: int = 13,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_iter: int = 25,
+                   cc_algorithm: str = "propagate") -> DataFrame:
+    """Full SemDeDup verdict per vector: (id, cluster, centroid_sim,
+    group_id, keep). Duplicate groups are connected components of the
+    within-cluster pair graph; each group keeps exactly the member
+    with the LOWEST centroid similarity (paper §3 keep policy; ties ->
+    lowest id). Vectors in no pair are singleton groups with keep=1.
+
+    Components run at pair scale; the verdict is one window over
+    groups (singletons hit tiny partitions) and one id-shuffle join
+    back to the corpus."""
+    if centroids is None:
+        sample = np.stack([
+            np.asarray(r[0], "float64")
+            for r in vectors.select(vec_col).limit(sample_size).collect()])
+        centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+
+    assign = semantic_assign(vectors, centroids, id_col, vec_col) \
+        .localCheckpoint(eager=False)
+    pairs = semantic_dup_pairs(vectors, threshold, centroids=centroids,
+                               id_col=id_col, vec_col=vec_col)
+    comp = connected_components(pairs.select("id_a", "id_b"),
+                                max_iter=max_iter, algorithm=cc_algorithm)
+    base = (assign
+            .join(comp.withColumnRenamed("node", "id"), "id", "left")
+            .select("id", "cluster", "centroid_sim",
+                    F.coalesce("cluster_id", F.col("id"))
+                    .alias("group_id")))
+    rank = Window.partitionBy("group_id").orderBy(
+        F.col("centroid_sim").asc(), F.col("id").asc())
+    return base.select(
+        "id", "cluster", "centroid_sim", "group_id",
+        (F.row_number().over(rank) == 1).cast("int").alias("keep"))

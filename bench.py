@@ -143,7 +143,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "bmu_fixed", "hmm", "ann_rerank",
              "pack_sequences", "contamination", "sample_stratified",
              "vocab_topk", "dup_clusters", "peak_scan", "hmm_estep",
-             "dup_passages", "nonlinear"]
+             "dup_passages", "nonlinear", "cosine_semantic"]
     # late-r04 gate-definition notes: features_battery gained a
     # 6dp-round projection and dropped the constant-NaN entropy column
     # (value-oracle conversion; same UDF work, negligible timing
@@ -159,6 +159,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = {**qs, "asof_union": entrymod._q_asof_union,
           "asof_bucketed": entrymod._q_asof_bucketed,
           "cosine_neardup_lsh": entrymod._q_cosine_neardup_lsh,
+          "cosine_semantic": entrymod._q_cosine_semantic,
           "ann_rerank": entrymod._q_ann_rerank,
           "ann_lsh": entrymod._q_ann_lsh,
           "battery_time": entrymod._q_battery_time,
@@ -228,7 +229,8 @@ def main() -> None:
     # entries in the old suites, so including the merged timing only
     # under-counts our side (conservative).
     R03_GROWN = {"docs_profile", "locf", "lag_delta", "text_profile"}
-    R04_ADDED = {"peak_scan", "hmm_estep", "dup_passages", "nonlinear"}
+    R04_ADDED = {"peak_scan", "hmm_estep", "dup_passages", "nonlinear",
+                 "cosine_semantic"}
     r01_subset = round(sum(v for k, v in queries.items()
                            if k not in R02_ADDED | R03_ADDED | R03_GROWN
                            | R04_ADDED), 3)
