@@ -188,3 +188,22 @@ def test_passage_spans_recomputes_not_checkpoints(spark):
     assert "ExistingRDD" not in plan, plan
     # exactly the two key-kernel branches (source is a pure SQL scan)
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_semdedup_plan_shape(spark):
+    """SemDeDup's scale claims, visible in the plan: no cartesian
+    product anywhere (the pair search is an equi-join on cluster id),
+    and the candidate self-join runs on the keys-only routing table —
+    embedding payloads appear in the scoring joins, not the bucket
+    join."""
+    from apollon_spark.ml.semdedup import semantic_dup_pairs
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 8))
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(200, dtype="int64"),
+        "embedding": list(vecs)}))
+    pairs = semantic_dup_pairs(df, 0.5, centroids=vecs[:4])
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
