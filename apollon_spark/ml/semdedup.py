@@ -78,7 +78,8 @@ def semantic_dup_pairs(vectors: DataFrame, threshold: float,
                        centroids: np.ndarray | None = None,
                        sample_size: int = 2048, seed: int = 13,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       assign: DataFrame | None = None) -> DataFrame:
     """Within-cluster near-duplicate pairs: (cluster, id_a, id_b,
     cos_sim) for every same-cluster pair with cosine >= ``threshold``.
 
@@ -90,17 +91,22 @@ def semantic_dup_pairs(vectors: DataFrame, threshold: float,
 
     Keys-only candidate mining: the (id, cluster) table is lazily
     checkpointed before its self-join (else both join sides recompute
-    the routing scan), payloads join back once per pair."""
-    if centroids is None:
-        sample = np.stack([
-            np.asarray(r[0], "float64")
-            for r in vectors.select(vec_col).limit(sample_size).collect()])
-        centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+    the routing scan), payloads join back once per pair.
+    ``assign`` lets a caller that already routed the corpus
+    (``semantic_dedup``) pass its (id, cluster, ...) table in, so the
+    routing scan runs once, not once per consumer."""
+    if assign is None:
+        if centroids is None:
+            sample = np.stack([
+                np.asarray(r[0], "float64")
+                for r in vectors.select(vec_col)
+                .limit(sample_size).collect()])
+            centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+        assign = semantic_assign(vectors, centroids, id_col, vec_col)
 
     v = vectors.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
-    keys = semantic_assign(vectors, centroids, id_col, vec_col) \
-        .select("id", "cluster").localCheckpoint(eager=False)
+    keys = assign.select("id", "cluster").localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                     & (F.col("a.id") < F.col("b.id")))
@@ -144,7 +150,8 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
     assign = semantic_assign(vectors, centroids, id_col, vec_col) \
         .localCheckpoint(eager=False)
     pairs = semantic_dup_pairs(vectors, threshold, centroids=centroids,
-                               id_col=id_col, vec_col=vec_col)
+                               id_col=id_col, vec_col=vec_col,
+                               assign=assign)
     comp = connected_components(pairs.select("id_a", "id_b"),
                                 max_iter=max_iter, algorithm=cc_algorithm)
     base = (assign
