@@ -816,10 +816,12 @@ def _q_hmm_estep(spark, sf_dir):
         "doc_id", "t", *[F.round(c, 6).alias(c) for c in cols])
 
 
-# --- spectral / iterative gates. The rows-only ones (no oracle_sql
-# --- entry; pytest-verified instead) are features_battery, hmm,
-# --- nonlinear and similarity_position; the rest here are value-
-# --- oracled via literal-basis / unrolled-recursion SQL. -------------------
+# --- spectral / iterative gates. Only hmm (EM to data-dependent
+# --- convergence) and similarity_position (per-doc EM fits feeding
+# --- the SOM) remain rows-only (no oracle_sql entry; pytest-verified
+# --- instead); everything else here — including features_battery,
+# --- onsets and nonlinear — is value-oracled via literal-basis /
+# --- unrolled-recursion SQL (late r04). ------------------------------------
 
 def _q_features_battery(spark, sf_dir):
     """The FULL spectral battery (energy/rms/spl/centroid/spread/
@@ -1110,7 +1112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup_all,
         "extend_energy": _q_extend_energy,
         "ann_lsh": _q_ann_all,
-        # rows-only (non-SQL-expressible; pytest parity instead)
+        # features_battery and onsets gained value oracles late r04
+        # (literal DFT basis); hmm is the one gate here still rows-only
+        # (EM to data-dependent convergence; similarity_position above
+        # is the other)
         "features_battery": _q_features_battery,
         "hmm": _q_hmm,
         "onsets": _q_onsets,

@@ -278,8 +278,9 @@ def main(argv: list[str] | None = None) -> int:
         storage.write_table(out, args.output)
         written = storage.read_table(spark, args.output)
         n, kept = written.select(F.count("*"), F.sum("keep")).first()
-        print(json.dumps({"vectors": n, "kept": int(kept),
-                          "dropped": n - int(kept)}))
+        kept = int(kept or 0)
+        print(json.dumps({"vectors": n, "kept": kept,
+                          "dropped": n - kept}))
     elif args.stage == "ann":
         # LSH top-k: input = vector table (--id-col, --vec-col; defaults
         # vec_id/embedding); queries = the first --n-queries vectors

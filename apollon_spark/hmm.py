@@ -298,6 +298,12 @@ def _estep_full_m2(x: np.ndarray, btab: np.ndarray,
     split) and ``em_update_m2`` (which also needs b/β for the ξ
     sums)."""
     x = assert_poisson_input(np.asarray(x))
+    if x.size and int(x.max()) >= btab.shape[0]:
+        raise ValueError(
+            f"token id {int(x.max())} exceeds the emission table's "
+            f"max_x={btab.shape[0] - 1}; rebuild the table with a "
+            f"larger max_x (estep_b_table / the estep_docs max_x "
+            f"parameter)")
     T = x.size
     (g00, g01), (g10, g11) = gamma
     d0, d1 = delta
@@ -382,8 +388,17 @@ def em_update_m2(x: np.ndarray, btab: np.ndarray, bmax_tab: np.ndarray,
     x = assert_poisson_input(np.asarray(x))
     if x.size < 2:
         raise ValueError("em_update_m2 needs at least 2 observations")
-    a0, a1, c, be0, be1, b0, b1, p0, p1 = _estep_full_m2(
-        x, btab, gamma, delta)
+    full = _estep_full_m2(x, btab, gamma, delta)
+    return _em_update_from_full(x, full, bmax_tab, gamma)
+
+
+def _em_update_from_full(x: np.ndarray, full: tuple[np.ndarray, ...],
+                         bmax_tab: np.ndarray, gamma) -> dict:
+    """M-step update from an ALREADY-COMPUTED ``_estep_full_m2`` tuple
+    — lets ``em_step_docs`` run the O(T) forward-backward recursion
+    once per doc and feed both the posterior columns and the update,
+    instead of recomputing it inside ``em_update_m2``."""
+    a0, a1, c, be0, be1, b0, b1, p0, p1 = full
     (g00, g01), (g10, g11) = gamma
     w0 = b0[1:] * be0[1:] / c[1:]
     w1 = b1[1:] * be1[1:] / c[1:]
@@ -413,6 +428,12 @@ def estep_posteriors(x: np.ndarray, btab: np.ndarray,
     gate's bit-exact twin, this is the API for arbitrary state counts
     (decode a corpus against any trained model)."""
     x = assert_poisson_input(np.asarray(x))
+    if x.size and int(x.max()) >= btab.shape[0]:
+        raise ValueError(
+            f"token id {int(x.max())} exceeds the emission table's "
+            f"max_x={btab.shape[0] - 1}; rebuild the table with a "
+            f"larger max_x (estep_b_table / the estep_docs max_x "
+            f"parameter)")
     T = x.size
     G = np.asarray(gamma, dtype="float64")
     m = G.shape[0]
@@ -436,7 +457,7 @@ def estep_posteriors(x: np.ndarray, btab: np.ndarray,
 
 
 def estep_docs(docs: DataFrame, lam, gamma, delta,
-               spread: bool = True) -> DataFrame:
+               spread: bool = True, max_x: int = 255) -> DataFrame:
     """Per-doc E-step posteriors on fixed parameters — one mapInPandas
     over (doc_id, tokens), long-form output
     (doc_id, t, alpha0, cscale, post0, post1 [, post2, ...]). The b
@@ -449,8 +470,10 @@ def estep_docs(docs: DataFrame, lam, gamma, delta,
     Python, so a compact input (one small parquet file = one scan
     partition) would serialize every doc into a single task; spend one
     round-robin shuffle when the input has fewer partitions than the
-    cluster (a no-op at real scale)."""
-    btab = estep_b_table(lam)
+    cluster (a no-op at real scale). ``max_x`` bounds the emission
+    table (default byte-range token ids); the kernel raises a
+    descriptive ValueError for token ids past it."""
+    btab = estep_b_table(lam, max_x=max_x)
     m = len(lam)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -492,16 +515,18 @@ EM_STEP_COLS = ["lam0_next", "lam1_next", "g00_next", "g01_next",
 
 
 def em_step_docs(docs: DataFrame, lam, gamma, delta,
-                 spread: bool = True) -> DataFrame:
+                 spread: bool = True, max_x: int = 255) -> DataFrame:
     """Per-doc E-step posteriors PLUS the one-iteration M-step update
     on fixed (λ, Γ, δ), m=2 — one mapInPandas over (doc_id, tokens),
     long-form (doc_id, t, alpha0, cscale, post0, post1) with the
     per-doc update columns (λ', Γ', δ', ll — constant across the
     doc's rows) appended. Docs with fewer than 2 tokens are skipped
     (the ξ sums need a transition; poisson_em degenerates there too).
-    Same spread_compact policy as ``estep_docs``."""
-    btab = estep_b_table(lam)
-    bmax_tab = estep_bmax_table(lam)
+    Same spread_compact policy as ``estep_docs``. ``max_x`` bounds the
+    emission table — raise it for vocabularies beyond byte-range token
+    ids (the kernel raises a descriptive ValueError past it)."""
+    btab = estep_b_table(lam, max_x=max_x)
+    bmax_tab = estep_bmax_table(lam, max_x=max_x)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -510,8 +535,11 @@ def em_step_docs(docs: DataFrame, lam, gamma, delta,
                 x = np.asarray(tokens, dtype="int64")
                 if x.size < 2:
                     continue
-                a0, c, p0, p1 = estep_posteriors_m2(x, btab, gamma, delta)
-                upd = em_update_m2(x, btab, bmax_tab, gamma, delta)
+                # ONE forward-backward pass feeds both the posterior
+                # columns and the M-step update
+                full = _estep_full_m2(x, btab, gamma, delta)
+                a0, _a1, c, _be0, _be1, _b0, _b1, p0, p1 = full
+                upd = _em_update_from_full(x, full, bmax_tab, gamma)
                 out.append(pd.DataFrame({
                     "doc_id": np.repeat(doc_id, x.size),
                     "t": np.arange(x.size, dtype="int32"),

@@ -807,10 +807,13 @@ def _cc_star(pairs: DataFrame, max_iter: int = 25,
     Both steps preserve connectivity and never increase the edge
     count; at the fixed point every component is a star centered on
     its minimum node, so the final (v, m) edges ARE the labels.
-    Convergence is checked with an order-insensitive edge-set
+    Convergence is screened with an order-insensitive edge-set
     checksum (count + bit_xor of xxhash64 — XOR can't overflow under
-    ANSI mode and edges are distinct, so it's a set checksum), and the
-    fixed point is verified — not assumed — before returning.
+    ANSI mode and edges are distinct, so it's a set checksum); a
+    checksum match then triggers ONE exact set-equality check
+    (equal counts + one-sided exceptAll empty) before the loop
+    accepts the fixed point, so a ~2^-64 checksum collision costs an
+    extra round instead of silently wrong labels.
 
     Raises RuntimeError when the round budget is exhausted (same
     loud-stop contract as the propagate loop).
@@ -831,6 +834,7 @@ def _cc_star(pairs: DataFrame, max_iter: int = 25,
         return int(row["n"]), int(row["h"])
 
     prev = checksum(edges)
+    prev_edges = edges
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -861,9 +865,14 @@ def _cc_star(pairs: DataFrame, max_iter: int = 25,
         edges = small
         cur = checksum(edges)
         if cur == prev:
-            converged = True
-            break
+            # exact verification of the screened fixed point: counts
+            # already match, so one-sided exceptAll-empty proves set
+            # equality (both frames are distinct'd)
+            if prev_edges.exceptAll(edges).limit(1).count() == 0:
+                converged = True
+                break
         prev = cur
+        prev_edges = edges
     if not converged:
         raise RuntimeError(
             f"connected_components(star): edge set did not reach a "

@@ -40,6 +40,22 @@ from pyspark.sql import functions as F
 from .dedup import connected_components
 from .simsearch import _cos_sim_udf, kmeans_centroids
 
+PAIR_SCHEMA = "cluster int, id_a long, id_b long, cos_sim double"
+VERDICT_SCHEMA = ("id long, cluster int, centroid_sim double, "
+                  "group_id long, keep int")
+
+
+def _default_centroids(vectors: DataFrame, vec_col: str, n_clusters: int,
+                       sample_size: int, seed: int) -> np.ndarray | None:
+    """kmeans++ centroids from a driver-side sample; None on an empty
+    corpus (np.stack([]) would raise — callers short-circuit to an
+    empty result instead)."""
+    rows = vectors.select(vec_col).limit(sample_size).collect()
+    if not rows:
+        return None
+    sample = np.stack([np.asarray(r[0], "float64") for r in rows])
+    return kmeans_centroids(sample, n_clusters, seed=seed)
+
 
 def semantic_assign(vectors: DataFrame, centroids: np.ndarray,
                     id_col: str = "vec_id",
@@ -94,19 +110,23 @@ def semantic_dup_pairs(vectors: DataFrame, threshold: float,
     the routing scan), payloads join back once per pair.
     ``assign`` lets a caller that already routed the corpus
     (``semantic_dedup``) pass its (id, cluster, ...) table in, so the
-    routing scan runs once, not once per consumer."""
+    routing scan runs once — and is checkpointed once, not re-pinned
+    here on top of the caller's checkpoint."""
+    keys_checkpointed = assign is not None
     if assign is None:
         if centroids is None:
-            sample = np.stack([
-                np.asarray(r[0], "float64")
-                for r in vectors.select(vec_col)
-                .limit(sample_size).collect()])
-            centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+            centroids = _default_centroids(vectors, vec_col, n_clusters,
+                                           sample_size, seed)
+            if centroids is None:    # empty corpus
+                return vectors.sparkSession.createDataFrame(
+                    [], PAIR_SCHEMA)
         assign = semantic_assign(vectors, centroids, id_col, vec_col)
 
     v = vectors.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
-    keys = assign.select("id", "cluster").localCheckpoint(eager=False)
+    keys = assign.select("id", "cluster")
+    if not keys_checkpointed:
+        keys = keys.localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                     & (F.col("a.id") < F.col("b.id")))
@@ -142,10 +162,11 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
     groups (singletons hit tiny partitions) and one id-shuffle join
     back to the corpus."""
     if centroids is None:
-        sample = np.stack([
-            np.asarray(r[0], "float64")
-            for r in vectors.select(vec_col).limit(sample_size).collect()])
-        centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+        centroids = _default_centroids(vectors, vec_col, n_clusters,
+                                       sample_size, seed)
+        if centroids is None:        # empty corpus
+            return vectors.sparkSession.createDataFrame(
+                [], VERDICT_SCHEMA)
 
     assign = semantic_assign(vectors, centroids, id_col, vec_col) \
         .localCheckpoint(eager=False)

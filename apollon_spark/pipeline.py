@@ -68,16 +68,24 @@ def run_bucketed_job(spark: SparkSession, docs: DataFrame, out_dir: str,
     Returns {buckets_done, buckets_skipped, rows_out, params_hash}.
     ``params`` must capture everything that changes the output — the
     marker is only honored when its recorded hash matches.
+    ``n_buckets`` is folded into the hash here (not left to callers):
+    it changes which docs land in which bucket file, so resuming under
+    a different bucket count against old markers would duplicate every
+    doc whose crc32 slice moved — the markers must invalidate.
     """
-    phash = _params_hash(params)
+    phash = _params_hash({**params, "n_buckets": n_buckets})
     checksum_col = checksum_col or _generic_checksum_col
     done_dir = os.path.join(out_dir, "_done")
     lineage_dir = os.path.join(out_dir, "_lineage")
     os.makedirs(done_dir, exist_ok=True)
     os.makedirs(lineage_dir, exist_ok=True)
 
+    # crc32 needs string/binary input; the cast is a no-op for string
+    # doc_ids (so existing marker layouts are unchanged) and makes
+    # integer-id tables (e.g. raw documents.parquet) bucketable
     docs = docs.withColumn(
-        "_bucket", F.pmod(F.crc32(F.col("doc_id")), F.lit(n_buckets)))
+        "_bucket", F.pmod(F.crc32(F.col("doc_id").cast("string")),
+                          F.lit(n_buckets)))
     summary = {"buckets_done": 0, "buckets_skipped": 0, "rows_out": 0,
                "params_hash": phash}
 
@@ -115,6 +123,27 @@ def run_bucketed_job(spark: SparkSession, docs: DataFrame, out_dir: str,
             fh.write(phash)
         summary["buckets_done"] += 1
         summary["rows_out"] += rows_out
+    # a PREVIOUS run with more buckets leaves bucket dirs beyond
+    # n_buckets - 1 holding docs this run re-wrote into lower buckets;
+    # reading out/<job_id> as one dataset would then duplicate them —
+    # drop the stale slices and their markers
+    import shutil
+    job_dir = os.path.join(out_dir, job_id)
+    if os.path.isdir(job_dir):
+        for name in os.listdir(job_dir):
+            if name.startswith("bucket="):
+                try:
+                    k = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if k >= n_buckets:
+                    shutil.rmtree(os.path.join(job_dir, name),
+                                  ignore_errors=True)
+                    stale_marker = os.path.join(done_dir, f"bucket={k}")
+                    if os.path.exists(stale_marker):
+                        os.remove(stale_marker)
+                    summary["stale_buckets_removed"] = (
+                        summary.get("stale_buckets_removed", 0) + 1)
     return summary
 
 

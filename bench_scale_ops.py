@@ -97,6 +97,37 @@ def main() -> None:
         "n_span_starts": n_spans,
         "windows_per_sec": round(total_tokens / t_pass, 0),
     }
+    # --- semantic dedup (SemDeDup) -----------------------------------
+    # 10x the per-round bench's vector count; clustered Gaussians so
+    # semantic dups exist. n_clusters scales with corpus size — the
+    # knob that bounds the within-cluster quadratic (SCALE.md §2).
+    import numpy as np
+    import pandas as pd
+
+    from apollon_spark.ml.semdedup import semantic_dedup
+    n_vecs = int(os.environ.get("SCALE_VECS", 20000))
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((64, 64)) * 3
+    vecs = (centers[rng.integers(0, 64, n_vecs)]
+            + 0.3 * rng.standard_normal((n_vecs, 64)))
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(n_vecs, dtype="int64"),
+        "embedding": list(vecs)})).repartition(int(cpus)).cache()
+    emb.count()
+    t0 = time.time()
+    verdict = semantic_dedup(emb, threshold=0.97, n_clusters=128)
+    n_vec_out, n_vec_kept = verdict.agg(
+        F.count("*"), F.sum("keep")).first()
+    t_sem = time.time() - t0
+    out["semantic_dedup"] = {
+        "sec": round(t_sem, 2),
+        "n_vectors": n_vec_out,
+        "n_kept": int(n_vec_kept),
+        "n_clusters": 128,
+        "vectors_per_sec": round(n_vec_out / t_sem, 1),
+    }
+    emb.unpersist()
+
     docs.unpersist()
     print(json.dumps(out))
 

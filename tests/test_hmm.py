@@ -280,3 +280,28 @@ def test_em_step_docs_spark(spark):
         row = full[full.doc_id == doc].iloc[0]
         for c in hmm.EM_STEP_COLS:
             assert row[c] == upd[c], (doc, c)
+
+
+def test_estep_max_x_contract(spark):
+    """Token ids past the emission table raise a descriptive error
+    (not a bare IndexError inside the executor); raising max_x on the
+    docs API handles large-vocab corpora."""
+    import pandas as pd
+    import pytest as _pytest
+    lam = (16.0, 128.0)
+    gamma = ((0.75, 0.25), (0.375, 0.625))
+    delta = (0.5, 0.5)
+    btab = hmm.estep_b_table(lam)                 # max_x=255
+    with _pytest.raises(ValueError, match="max_x"):
+        hmm.estep_posteriors_m2(np.array([10, 300]), btab, gamma, delta)
+    with _pytest.raises(ValueError, match="max_x"):
+        hmm.estep_posteriors(np.array([10, 300]), btab, gamma, delta)
+    # the docs API works once max_x covers the vocab
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a"], "tokens": [[10, 300, 20, 299]]}))
+    out = hmm.estep_docs(sdf, lam, gamma, delta, max_x=512).toPandas()
+    assert len(out) == 4
+    s = out["post0"] + out["post1"]
+    np.testing.assert_allclose(s.to_numpy(), 1.0, rtol=1e-12)
+    out2 = hmm.em_step_docs(sdf, lam, gamma, delta, max_x=512).toPandas()
+    assert len(out2) == 4 and np.isfinite(out2["ll"]).all()

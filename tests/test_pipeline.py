@@ -85,6 +85,48 @@ def test_generic_bucketed_job_resume(spark, tmp_path):
     assert got == 12
 
 
+def test_bucket_count_change_invalidates_markers(spark, tmp_path):
+    """Resuming with a different n_buckets must rerun EVERYTHING:
+    bucket membership is crc32(doc_id) % n_buckets, so old markers
+    answer a different partitioning — honoring them would duplicate
+    every doc whose slice moved (n_buckets is folded into the params
+    hash)."""
+    import pandas as pd
+
+    from apollon_spark.ml.textstats import text_profile
+    from apollon_spark.pipeline import run_bucketed_job
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(12)],
+        "text": [f"some text number {i} with words" for i in range(12)],
+    }))
+    out = str(tmp_path / "tp2")
+    params = {"stage": "textstats", "text_col": "text"}
+    tf = lambda part: text_profile(part)  # noqa: E731
+
+    s1 = run_bucketed_job(spark, docs, out, tf, params,
+                          n_buckets=2, job_id="textstats")
+    assert s1["buckets_done"] == 2
+    s2 = run_bucketed_job(spark, docs, out, tf, params,
+                          n_buckets=3, job_id="textstats")
+    assert s2["buckets_done"] == 3 and s2["buckets_skipped"] == 0
+    # the combined dataset holds each doc exactly once: the 3-bucket
+    # run overwrote bucket=0/1 and wrote bucket=2 fresh
+    got = spark.read.parquet(out + "/textstats")
+    assert got.count() == 12
+    assert got.select("doc_id").distinct().count() == 12
+
+    # shrink back to 2: the stale bucket=2 slice (whose docs the
+    # 2-bucket run re-writes into buckets 0/1) must be removed, else
+    # the combined dataset duplicates them
+    s3 = run_bucketed_job(spark, docs, out, tf, params,
+                          n_buckets=2, job_id="textstats")
+    assert s3["buckets_done"] == 2
+    assert s3.get("stale_buckets_removed") == 1
+    got = spark.read.parquet(out + "/textstats")
+    assert got.count() == 12
+    assert got.select("doc_id").distinct().count() == 12
+
+
 def test_ingest_roundtrip_token_equality(spark, tmp_path, sf_dir):
     """The north-rule per-row invariant: the ingested table (plain
     parquet AND the doc_id-bucketed layout) preserves every token

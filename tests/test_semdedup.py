@@ -123,3 +123,16 @@ def test_empty_input(spark):
     assert semdedup.semantic_dup_pairs(empty, 0.5, centroids=cents) \
         .count() == 0
     assert semdedup.semantic_dedup(empty, 0.5, centroids=cents).count() == 0
+
+
+def test_empty_input_default_centroids(spark):
+    """The kmeans-training path must short-circuit on an empty corpus
+    instead of crashing in np.stack."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    assert semdedup.semantic_dup_pairs(empty, 0.5, n_clusters=4) \
+        .count() == 0
+    out = semdedup.semantic_dedup(empty, 0.5, n_clusters=4)
+    assert out.count() == 0
+    assert out.columns == ["id", "cluster", "centroid_sim",
+                           "group_id", "keep"]
