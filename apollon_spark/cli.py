@@ -24,8 +24,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stage", required=True,
                     choices=["features", "onsets", "hmm", "som",
                              "position", "export", "nonlinear",
-                             "dedup", "neardup", "semdedup", "ann",
-                             "textstats",
+                             "dedup", "neardup", "semdedup", "filter",
+                             "ann", "textstats",
                              "scrub", "ingest", "stream-neardup",
                              "pack", "sample", "contaminate", "cluster",
                              "passages", "stream-passages"])
@@ -264,6 +264,19 @@ def main(argv: list[str] | None = None) -> int:
                 F.count("*"), F.countDistinct("doc_id")).first()
             print(json.dumps({"span_starts": n_spans,
                               "docs_hit": int(n_docs_hit or 0)}))
+    elif args.stage == "filter":
+        # Gopher-rule quality verdicts (Rae et al. 2021 §A1.1): input
+        # = tokenized docs table with a text column; output = per-doc
+        # per-rule flags + combined keep
+        from pyspark.sql import functions as F
+
+        from .ml.curation import quality_filter
+        out = quality_filter(docs, text_col=args.text_col)
+        storage.write_table(out, args.output)
+        written = storage.read_table(spark, args.output)
+        n, kept = written.select(F.count("*"), F.sum("keep")).first()
+        kept = int(kept or 0)
+        print(json.dumps({"docs": n, "kept": kept, "dropped": n - kept}))
     elif args.stage == "semdedup":
         # SemDeDup (arXiv:2303.09540): k-means-partition the embedding
         # space, mine near-dups within clusters only, keep the least-

@@ -302,3 +302,90 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
             .select("doc_id", "distinct_frac",
                     _frac("max2", "tot2").alias("top2_frac"),
                     _frac("dup3", "tot3").alias("dup3_frac")))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rule quality filter (Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+# Default thresholds follow the published Gopher filter table; each is
+# overridable per call. Stopword presence uses the textstats English
+# marker list (lang-ID shares it), matching the paper's "contains at
+# least 2 of a small stop list" rule.
+GOPHER_DEFAULTS = {
+    "min_words": 50, "max_words": 100_000,
+    "min_mean_wlen": 3.0, "max_mean_wlen": 10.0,
+    "max_symbol_ratio": 0.1,          # '#' and '...' per word
+    "min_stop_hits": 2,               # distinct stopwords present
+    "min_distinct_frac": 0.2,         # ~1 - "duplicate tokens" cap
+    "max_top2_frac": 0.18,            # most-frequent-bigram share
+    "max_dup3_frac": 0.30,            # duplicated-trigram share
+}
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   **overrides) -> DataFrame:
+    """Per-doc Gopher-rule keep/drop verdict: (doc_id, one boolean
+    column per rule, keep int). A doc keeps only when EVERY rule
+    passes — the standard pre-training curation gate combining the
+    length/lexical rules (computed here from the text) with the
+    repetition metrics (``repetition_metrics`` over the tokens).
+
+    Every signal is a count, an exact integer division, or a
+    comparison — pure codegen'd column SQL; the repetition join is the
+    one shuffle (co-keyed groupBys on doc_id). Scale: one corpus scan
+    + the gram groupBys repetition_metrics already pays.
+
+    Input needs ``text_col``; ``tokens``/``n_tok`` are derived with
+    the canonical ingest tokenizer when absent, so the stage runs
+    directly on a raw documents table.
+    """
+    from .textstats import LANG_MARKERS, words_col
+    if "tokens" not in docs.columns:
+        from ..tokenize import TOKEN_EXPR
+        docs = (docs.withColumn("tokens", F.expr(
+            TOKEN_EXPR.replace("text", f"`{text_col}`")
+            if text_col != "text" else TOKEN_EXPR))
+            .withColumn("n_tok", F.size("tokens").cast("int")))
+    r = {**GOPHER_DEFAULTS, **overrides}
+    text = F.col(text_col)
+    words = words_col(text)
+    lower_words = words_col(F.lower(text))
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    mean_wlen = F.when(n_words > 0,
+                       n_chars.cast("double") / n_words.cast("double")
+                       ).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(text, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0,
+        (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stops = list(LANG_MARKERS["en"])
+    stop_hits = F.size(F.array_distinct(
+        F.filter(lower_words, lambda w: w.isin(stops))))
+
+    flags = {
+        "ok_len": (n_words >= r["min_words"])
+        & (n_words <= r["max_words"]),
+        "ok_wlen": (mean_wlen >= r["min_mean_wlen"])
+        & (mean_wlen <= r["max_mean_wlen"]),
+        "ok_symbols": symbol_ratio <= r["max_symbol_ratio"],
+        "ok_stopwords": stop_hits >= r["min_stop_hits"],
+    }
+    rep = repetition_metrics(docs)
+    out = (docs.select("doc_id",
+                       *[v.alias(k) for k, v in flags.items()])
+           .join(rep, "doc_id")
+           .withColumn("ok_distinct",
+                       F.col("distinct_frac") >= r["min_distinct_frac"])
+           .withColumn("ok_top2", F.col("top2_frac") <= r["max_top2_frac"])
+           .withColumn("ok_dup3", F.col("dup3_frac") <= r["max_dup3_frac"]))
+    rule_cols = ["ok_len", "ok_wlen", "ok_symbols", "ok_stopwords",
+                 "ok_distinct", "ok_top2", "ok_dup3"]
+    keep = F.lit(True)
+    for c in rule_cols:
+        keep = keep & F.col(c)
+    return out.select("doc_id", *rule_cols,
+                      keep.cast("int").alias("keep"))

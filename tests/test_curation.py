@@ -295,3 +295,45 @@ def test_shuffle_corpus_deterministic_permutation(spark):
         f"{r[0]}:s1".encode()).hexdigest())
     want = [t for r in want_order for t in r[1]]
     assert flat == want
+
+
+def test_quality_filter_rules(spark):
+    """Each Gopher rule trips on a doc violating exactly it; a clean
+    doc passes everything (keep=1)."""
+    import pandas as pd
+
+    from apollon_spark.ml.curation import quality_filter
+
+    def mk(doc_id, text, tokens=None):
+        toks = tokens if tokens is not None else list(range(60))
+        return {"doc_id": doc_id, "text": text,
+                "tokens": toks, "n_tok": len(toks)}
+
+    good_words = ("the quick brown fox jumps over a lazy dog and then "
+                  "rests in of to is " * 5).split()
+    good = " ".join(good_words)          # 90 words, stopword-rich
+    rows = [
+        mk("clean", good),
+        mk("short", "the and of to a in is yes"),          # <50 words
+        mk("wlen", " ".join(["a"] * 60) + " the and"),     # mean wlen < 3
+        mk("symbols", " ".join(["the##", "and..."] * 30)), # symbol ratio
+        mk("nostop", " ".join([f"w{i:03d}xx" for i in range(60)])),
+        mk("repeat", good, tokens=[7] * 60),               # degenerate toks
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["doc_id"]: r.asDict()
+           for r in quality_filter(df).collect()}
+
+    assert out["clean"]["keep"] == 1
+    assert all(out["clean"][c] for c in out["clean"] if c.startswith("ok_"))
+    assert not out["short"]["ok_len"] and out["short"]["keep"] == 0
+    assert not out["wlen"]["ok_wlen"] and out["wlen"]["keep"] == 0
+    assert not out["symbols"]["ok_symbols"] and out["symbols"]["keep"] == 0
+    assert not out["nostop"]["ok_stopwords"] and out["nostop"]["keep"] == 0
+    rep = out["repeat"]
+    assert not (rep["ok_distinct"] and rep["ok_top2"] and rep["ok_dup3"])
+    assert rep["keep"] == 0
+    # thresholds are overridable
+    loose = {r["doc_id"]: r["keep"]
+             for r in quality_filter(df, min_words=5).collect()}
+    assert loose["short"] == 1
