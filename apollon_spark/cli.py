@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--n-queries", type=int, default=8,
                     help="ann: use the first N vectors as queries")
+    ap.add_argument("--budget-tokens", type=int, default=0,
+                    help="sample: with --mix-weights, treat the "
+                         "weights as mixture RATIOS and scale them to "
+                         "hit this total token budget")
     ap.add_argument("--n-clusters", type=int, default=64,
                     help="semdedup: k-means cluster count (bounds the "
                          "within-cluster quadratic; raise with corpus "
@@ -408,6 +412,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.mix_weights:
             weights = {k: float(v) for k, v in
                        (kv.split(":") for kv in args.mix_weights.split(","))}
+            if args.budget_tokens > 0:
+                # weights are mixture RATIOS: scale them into per-source
+                # resampling multipliers hitting the token budget
+                from .ml.curation import budget_mixture_weights
+                weights = budget_mixture_weights(
+                    docs, weights, args.budget_tokens, by=args.stratify_by)
             copies = mixture_sample(docs, weights, by=args.stratify_by)
             out = copies.join(docs.drop(args.stratify_by), "doc_id")
         elif args.quota > 0:

@@ -389,3 +389,39 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
         keep = keep & F.col(c)
     return out.select("doc_id", *rule_cols,
                       keep.cast("int").alias("keep"))
+
+
+def budget_mixture_weights(docs: DataFrame, ratios: dict[str, float],
+                           budget_tokens: int,
+                           by: str = "source") -> dict[str, float]:
+    """Token-budget planning for data mixing: turn target mixture
+    RATIOS plus a total token budget into the per-source resampling
+    multipliers that ``mixture_sample`` consumes.
+
+    One map-side-combined aggregate reads the per-source token supply;
+    the multiplier for source s is then
+    ``budget * ratio_s / (Σ ratios present) / supply_s`` — >1 means
+    the source repeats (epochs), <1 means it subsamples, both of which
+    ``mixture_sample`` realizes deterministically (floor copies + the
+    1/65536-quantized fractional coin). Sources named in ``ratios``
+    but absent from the corpus are ignored (their ratio mass is
+    redistributed); the returned multipliers quantize like
+    mixture_sample, so realized tokens land within 1/65536 per source
+    of the plan plus coin variance.
+
+    Scale: the supply aggregate shuffles |sources| rows; planning is
+    driver arithmetic on that tiny table.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    supply = {r[0]: int(r[1]) for r in
+              docs.groupBy(by).agg(F.sum("n_tok")).collect()}
+    live = {s: w for s, w in ratios.items()
+            if s in supply and w > 0 and supply[s] > 0}
+    tot = sum(live.values())
+    if tot <= 0:
+        raise ValueError(
+            f"no ratio mass on sources present in the corpus "
+            f"(corpus sources: {sorted(supply)})")
+    return {s: budget_tokens * (w / tot) / supply[s]
+            for s, w in live.items()}

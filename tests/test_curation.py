@@ -337,3 +337,49 @@ def test_quality_filter_rules(spark):
     loose = {r["doc_id"]: r["keep"]
              for r in quality_filter(df, min_words=5).collect()}
     assert loose["short"] == 1
+
+
+def test_budget_mixture_weights(spark):
+    """The planner's multipliers hit the token budget at the requested
+    ratios (exact arithmetic check on the plan, realized-token check
+    through mixture_sample within quantization + coin tolerance)."""
+    import pandas as pd
+
+    from apollon_spark.ml.curation import (budget_mixture_weights,
+                                           mixture_sample)
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(400):
+        src = ["web", "code", "books"][i % 3]
+        n = int(rng.integers(20, 120))
+        rows.append({"doc_id": f"d{i:04d}", "source": src,
+                     "tokens": list(range(n)), "n_tok": n})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    supply = {r[0]: r[1] for r in
+              df.groupBy("source").agg(F.sum("n_tok")).collect()}
+
+    ratios = {"web": 0.5, "code": 0.3, "books": 0.2, "ghost": 0.4}
+    budget = 30_000
+    w = budget_mixture_weights(df, ratios, budget)
+    assert "ghost" not in w                      # absent source dropped
+    # exact plan arithmetic: multiplier * supply == budget * ratio/0.1+0.3+0.5
+    tot = 0.5 + 0.3 + 0.2
+    for s in ("web", "code", "books"):
+        np.testing.assert_allclose(
+            w[s] * supply[s], budget * ratios[s] / tot, rtol=1e-12)
+
+    # realized tokens through mixture_sample land near the budget
+    copies = mixture_sample(df, w)
+    realized = (copies.join(df.select("doc_id", "n_tok"), "doc_id")
+                .agg(F.sum("n_tok")).first()[0])
+    assert abs(realized - budget) / budget < 0.15
+
+    # oversubscription: a budget above total supply -> multipliers > 1
+    big = budget_mixture_weights(df, {"web": 1.0}, supply["web"] * 3)
+    assert big["web"] > 2.5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        budget_mixture_weights(df, {"ghost": 1.0}, 1000)
+    with _pytest.raises(ValueError):
+        budget_mixture_weights(df, ratios, 0)
