@@ -409,6 +409,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.stage == "sample":
         from .ml.curation import (mixture_sample, sample_rate,
                                   sample_stratified)
+        if args.budget_tokens > 0 and not args.mix_weights:
+            raise SystemExit(
+                "--budget-tokens requires --mix-weights (the budget "
+                "scales mixture ratios; it does not apply to "
+                "--quota/--rate-hex sampling)")
         if args.mix_weights:
             weights = {k: float(v) for k, v in
                        (kv.split(":") for kv in args.mix_weights.split(","))}

@@ -265,7 +265,8 @@ def vocab_stats(docs: DataFrame, top_k: int = 32) -> DataFrame:
             .select("rank", "token", "n_occur", "n_docs"))
 
 
-def repetition_metrics(docs: DataFrame) -> DataFrame:
+def repetition_metrics(docs: DataFrame,
+                       packing: str = "base256") -> DataFrame:
     """Per-doc repetition profile (Gopher-rule family):
 
     * distinct_frac — distinct tokens / n_tok
@@ -275,9 +276,11 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
 
     Docs too short for a k-gram get 0.0 for that metric. All three
     are single divisions of exact integers (bit-stable cross-engine).
+    ``packing`` passes through to ``doc_ngrams`` — "hash" for token
+    ids beyond [0, 256) (e.g. ``quality_filter``'s word-hash ids).
     """
     def _gram_counts(k: int) -> DataFrame:
-        return (doc_ngrams(docs, k, distinct=False)
+        return (doc_ngrams(docs, k, distinct=False, packing=packing)
                 .groupBy("doc_id", "gram").agg(F.count("*").alias("c")))
 
     bi = (_gram_counts(2).groupBy("doc_id")
@@ -315,7 +318,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
 GOPHER_DEFAULTS = {
     "min_words": 50, "max_words": 100_000,
     "min_mean_wlen": 3.0, "max_mean_wlen": 10.0,
-    "max_symbol_ratio": 0.1,          # '#' and '...' per word
+    "max_symbol_ratio": 0.1,          # per symbol ('#'; '...'/'…') per word
     "min_stop_hits": 2,               # distinct stopwords present
     "min_distinct_frac": 0.2,         # ~1 - "duplicate tokens" cap
     "max_top2_frac": 0.18,            # most-frequent-bigram share
@@ -327,54 +330,67 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
                    **overrides) -> DataFrame:
     """Per-doc Gopher-rule keep/drop verdict: (doc_id, one boolean
     column per rule, keep int). A doc keeps only when EVERY rule
-    passes — the standard pre-training curation gate combining the
-    length/lexical rules (computed here from the text) with the
-    repetition metrics (``repetition_metrics`` over the tokens).
+    passes — the standard pre-training curation gate.
+
+    ALL rules — including the repetition caps — are computed from the
+    TEXT at word level, per the paper. The repetition metrics run over
+    xxhash64(word) ids (``repetition_metrics`` with packing="hash"),
+    NOT the canonical mod-256 token ids: capped ids bound distinct
+    ids at 256, which would doom every doc past ~1,280 tokens to
+    distinct_frac < 0.2 regardless of quality. Words split on
+    WHITESPACE RUNS (newlines/tabs delimit; consecutive blanks don't
+    fabricate empty words) — deliberately wider than textstats'
+    single-space ``words_col`` (which stays put for its gate's DuckDB
+    string_split parity). Mean word length averages the words
+    themselves (not chars/words, which counts separators); symbol
+    ratios are per symbol (hash, ASCII and Unicode ellipsis — each
+    compared to the cap separately, as published); stopwords match
+    after stripping non-letters, so 'the;' still counts.
 
     Every signal is a count, an exact integer division, or a
     comparison — pure codegen'd column SQL; the repetition join is the
-    one shuffle (co-keyed groupBys on doc_id). Scale: one corpus scan
-    + the gram groupBys repetition_metrics already pays.
-
-    Input needs ``text_col``; ``tokens``/``n_tok`` are derived with
-    the canonical ingest tokenizer when absent, so the stage runs
-    directly on a raw documents table.
+    one shuffle (co-keyed groupBys on doc_id). Input only needs
+    ``doc_id`` and ``text_col``.
     """
-    from .textstats import LANG_MARKERS, words_col
-    if "tokens" not in docs.columns:
-        from ..tokenize import TOKEN_EXPR
-        docs = (docs.withColumn("tokens", F.expr(
-            TOKEN_EXPR.replace("text", f"`{text_col}`")
-            if text_col != "text" else TOKEN_EXPR))
-            .withColumn("n_tok", F.size("tokens").cast("int")))
+    from .textstats import LANG_MARKERS
     r = {**GOPHER_DEFAULTS, **overrides}
     text = F.col(text_col)
-    words = words_col(text)
-    lower_words = words_col(F.lower(text))
+    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
     n_words = F.size(words)
-    n_chars = F.length(text)
+    sum_wlen = F.aggregate(words, F.lit(0).cast("long"),
+                           lambda acc, w: acc + F.length(w))
     mean_wlen = F.when(n_words > 0,
-                       n_chars.cast("double") / n_words.cast("double")
+                       sum_wlen.cast("double") / n_words.cast("double")
                        ).otherwise(F.lit(0.0))
     n_hash = F.size(F.split(text, "#", -1)) - 1
-    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
-    symbol_ratio = F.when(
-        n_words > 0,
-        (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
-    ).otherwise(F.lit(0.0))
+    n_ellipsis = (F.size(F.split(text, r"\.\.\.", -1)) - 1
+                  + F.size(F.split(text, "…", -1)) - 1)
+
+    def _ratio(n):
+        return F.when(n_words > 0,
+                      n.cast("double") / n_words.cast("double")
+                      ).otherwise(F.lit(0.0))
+
     stops = list(LANG_MARKERS["en"])
+    bare = F.transform(
+        words, lambda w: F.regexp_replace(F.lower(w), "[^a-z]", ""))
     stop_hits = F.size(F.array_distinct(
-        F.filter(lower_words, lambda w: w.isin(stops))))
+        F.filter(bare, lambda w: w.isin(stops))))
 
     flags = {
         "ok_len": (n_words >= r["min_words"])
         & (n_words <= r["max_words"]),
         "ok_wlen": (mean_wlen >= r["min_mean_wlen"])
         & (mean_wlen <= r["max_mean_wlen"]),
-        "ok_symbols": symbol_ratio <= r["max_symbol_ratio"],
+        "ok_symbols": (_ratio(n_hash) <= r["max_symbol_ratio"])
+        & (_ratio(n_ellipsis) <= r["max_symbol_ratio"]),
         "ok_stopwords": stop_hits >= r["min_stop_hits"],
     }
-    rep = repetition_metrics(docs)
+    word_docs = docs.select(
+        "doc_id",
+        F.transform(words, lambda w: F.xxhash64(w)).alias("tokens")
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+    rep = repetition_metrics(word_docs, packing="hash")
     out = (docs.select("doc_id",
                        *[v.alias(k) for k, v in flags.items()])
            .join(rep, "doc_id")
@@ -423,5 +439,17 @@ def budget_mixture_weights(docs: DataFrame, ratios: dict[str, float],
         raise ValueError(
             f"no ratio mass on sources present in the corpus "
             f"(corpus sources: {sorted(supply)})")
-    return {s: budget_tokens * (w / tot) / supply[s]
-            for s, w in live.items()}
+    out = {s: budget_tokens * (w / tot) / supply[s]
+           for s, w in live.items()}
+    # mixture_sample quantizes fractional multipliers to 1/65536: a
+    # planned share below that realizes ZERO rows — fail loudly rather
+    # than silently dropping the source from the sample
+    dead = sorted(s for s, m in out.items()
+                  if m < 1 and int(m * 65536) == 0)
+    if dead:
+        raise ValueError(
+            f"planned multipliers for {dead} fall below "
+            f"mixture_sample's 1/65536 resolution and would realize "
+            f"zero rows — raise budget_tokens, drop these sources "
+            f"from the ratios, or sample them with sample_stratified")
+    return out

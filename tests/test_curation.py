@@ -299,40 +299,72 @@ def test_shuffle_corpus_deterministic_permutation(spark):
 
 def test_quality_filter_rules(spark):
     """Each Gopher rule trips on a doc violating exactly it; a clean
-    doc passes everything (keep=1)."""
+    doc passes everything (keep=1). All rules are word-level over the
+    TEXT (not the mod-256 token ids — see the docstring), words split
+    on whitespace runs, stopwords matched after punctuation strip."""
     import pandas as pd
 
     from apollon_spark.ml.curation import quality_filter
 
-    def mk(doc_id, text, tokens=None):
-        toks = tokens if tokens is not None else list(range(60))
-        return {"doc_id": doc_id, "text": text,
-                "tokens": toks, "n_tok": len(toks)}
+    rng = np.random.default_rng(11)
 
-    good_words = ("the quick brown fox jumps over a lazy dog and then "
-                  "rests in of to is " * 5).split()
-    good = " ".join(good_words)          # 90 words, stopword-rich
+    def varied(n):
+        # distinct-ish 4-7 letter words, stopword-seasoned
+        out = []
+        for i in range(n):
+            if i % 9 == 0:
+                out.append(["the", "and", "of", "is"][i % 4])
+            else:
+                out.append("".join(
+                    chr(97 + c) for c in
+                    rng.integers(0, 26, int(rng.integers(4, 8)))))
+        return out
+
+    clean = " ".join(varied(90))
     rows = [
-        mk("clean", good),
-        mk("short", "the and of to a in is yes"),          # <50 words
-        mk("wlen", " ".join(["a"] * 60) + " the and"),     # mean wlen < 3
-        mk("symbols", " ".join(["the##", "and..."] * 30)), # symbol ratio
-        mk("nostop", " ".join([f"w{i:03d}xx" for i in range(60)])),
-        mk("repeat", good, tokens=[7] * 60),               # degenerate toks
+        {"doc_id": "clean", "text": clean},
+        # newline-separated words still count (whitespace-run split)
+        {"doc_id": "newlines", "text": "\n".join(varied(90))},
+        {"doc_id": "short", "text": "the fox ran far off and was fed"},
+        {"doc_id": "wlen", "text": " ".join(["a"] * 58 + ["the", "and"])},
+        {"doc_id": "symbols",
+         "text": " ".join(["the##", "and..."] * 30 + varied(30))},
+        {"doc_id": "nostop",
+         "text": " ".join(f"w{i:03d}xx" for i in range(60))},
+        # one phrase looped: distinct/top-bigram/dup-trigram all trip
+        {"doc_id": "repeat",
+         "text": " ".join(["the cat sat on the mat"] * 15)},
     ]
     df = spark.createDataFrame(pd.DataFrame(rows))
-    out = {r["doc_id"]: r.asDict()
-           for r in quality_filter(df).collect()}
+    out = {r["doc_id"]: r.asDict() for r in quality_filter(df).collect()}
 
     assert out["clean"]["keep"] == 1
     assert all(out["clean"][c] for c in out["clean"] if c.startswith("ok_"))
+    assert out["newlines"]["ok_len"] and out["newlines"]["keep"] == 1
     assert not out["short"]["ok_len"] and out["short"]["keep"] == 0
     assert not out["wlen"]["ok_wlen"] and out["wlen"]["keep"] == 0
     assert not out["symbols"]["ok_symbols"] and out["symbols"]["keep"] == 0
     assert not out["nostop"]["ok_stopwords"] and out["nostop"]["keep"] == 0
     rep = out["repeat"]
-    assert not (rep["ok_distinct"] and rep["ok_top2"] and rep["ok_dup3"])
-    assert rep["keep"] == 0
+    assert not rep["ok_distinct"] and not rep["ok_dup3"] \
+        and rep["keep"] == 0
+    # a dominant bigram trips ok_top2 specifically
+    top2 = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": "t2", "text": " ".join(["alpha beta"] * 40)}]))
+    t2 = quality_filter(top2).collect()[0]
+    assert not t2["ok_top2"] and t2["keep"] == 0
+    # stopwords count through punctuation ('the;' etc.)
+    punct = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": "p",
+         "text": " ".join(["The;", "and,"] + varied(58))}]))
+    pout = quality_filter(punct).collect()[0]
+    assert pout["ok_stopwords"]
+    # long docs are NOT doomed by the capped tokenizer: 1500 varied
+    # words keep distinct_frac word-level
+    long_doc = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": "long", "text": " ".join(varied(1500))}]))
+    lout = quality_filter(long_doc).collect()[0]
+    assert lout["ok_distinct"] and lout["keep"] == 1
     # thresholds are overridable
     loose = {r["doc_id"]: r["keep"]
              for r in quality_filter(df, min_words=5).collect()}
