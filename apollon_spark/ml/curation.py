@@ -350,7 +350,12 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     Every signal is a count, an exact integer division, or a
     comparison — pure codegen'd column SQL; the repetition join is the
     one shuffle (co-keyed groupBys on doc_id). Input only needs
-    ``doc_id`` and ``text_col``.
+    ``doc_id`` and ``text_col``. The lexical flags and the two gram
+    views each re-scan the pruned (doc_id, text) columns rather than
+    pinning a hashed-token materialization — the same
+    recompute-over-pin trade the passage pipeline measured (SCALE.md
+    §6f): the derived arrays are ~input-sized, so caching them costs
+    more than re-running the cheap split/hash kernel.
     """
     from .textstats import LANG_MARKERS
     r = {**GOPHER_DEFAULTS, **overrides}
