@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["features", "onsets", "hmm", "som",
                              "position", "export", "nonlinear",
                              "dedup", "neardup", "semdedup", "filter",
-                             "ann", "textstats",
+                             "lmscore", "ann", "textstats",
                              "scrub", "ingest", "stream-neardup",
                              "pack", "sample", "contaminate", "cluster",
                              "passages", "stream-passages"])
@@ -449,6 +449,25 @@ def main(argv: list[str] | None = None) -> int:
             F.count("*"), F.count(F.when(F.col("hit_frac") > 0, 1))).first()
         print(json.dumps({"docs_scored": n_scored,
                           "docs_contaminated": n_hit}))
+    elif args.stage == "lmscore":
+        # CCNet-style bigram-LM quality signal: score docs under a
+        # model counted on --benchmark (a trusted reference table); a
+        # deterministic benchmark_split of the input when absent
+        from pyspark.sql import functions as F
+
+        from .ml.curation import benchmark_split, ngram_lm_score
+        if args.benchmark:
+            ref = storage.read_table(spark, args.benchmark)
+            scored = docs
+        else:
+            scored, ref = benchmark_split(docs)
+        out = ngram_lm_score(scored, ref)
+        storage.write_table(out, args.output)
+        written = storage.read_table(spark, args.output)
+        n, mean_lp = written.select(
+            F.count("*"), F.avg("mean_logp")).first()
+        print(json.dumps({"docs_scored": n,
+                          "corpus_mean_logp": round(float(mean_lp or 0), 6)}))
     elif args.stage == "export":
         if args.export_format == "csv":
             storage.write_csv(docs, args.output)

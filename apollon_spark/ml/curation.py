@@ -458,3 +458,52 @@ def budget_mixture_weights(docs: DataFrame, ratios: dict[str, float],
             f"zero rows — raise budget_tokens, drop these sources "
             f"from the ratios, or sample them with sample_stratified")
     return out
+
+
+def ngram_lm_score(docs: DataFrame, ref: DataFrame,
+                   alpha: float = 0.1,
+                   vocab_size: int = 256) -> DataFrame:
+    """CCNet-style n-gram LM quality signal (Wenzek et al. 2020,
+    public): score every doc by the mean log-probability of its token
+    bigrams under an add-α-smoothed bigram model COUNTED ON ``ref``
+    (a trusted reference slice, e.g. a `benchmark_split` of a clean
+    source). Low scores flag out-of-domain / junk documents — the
+    perplexity filter of the classic curation stack.
+
+    Returns (doc_id, n_bigrams, mean_logp) with mean_logp = 0.0 for
+    docs too short for a bigram (n_bigrams = 0).
+
+        P(t | s) = (c(s,t) + α) / (c(s,·) + α·V)
+
+    Scale: the model is at most V² rows (the canonical 256-id space
+    caps it at 65,536; real vocabs shrink it to observed bigrams) —
+    counted with one map-side-combined groupBy over the reference and
+    BROADCAST to the corpus side, which then pays one scan + one
+    map-side join + one groupBy(doc_id). The unigram normalizer joins
+    the same way. Unseen bigrams fall back to the smoothing mass via
+    left joins + coalesce, so the corpus never shuffles on gram keys.
+    """
+    if not 0 < alpha:
+        raise ValueError("alpha must be positive")
+    bi_ref = (doc_ngrams(ref, 2, distinct=False)
+              .groupBy("gram").agg(F.count("*").alias("c2")))
+    # unigram context counts: the leading token of each bigram
+    uni_ref = (bi_ref
+               .withColumn("ctx", (F.col("gram") / 256).cast("long"))
+               .groupBy("ctx").agg(F.sum("c2").alias("c1")))
+    grams = (doc_ngrams(docs, 2, distinct=False)
+             .withColumn("ctx", (F.col("gram") / 256).cast("long")))
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + alpha)
+        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+           + alpha * vocab_size))
+    scored = (grams
+              .join(F.broadcast(bi_ref), "gram", "left")
+              .join(F.broadcast(uni_ref), "ctx", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.avg(logp).alias("mean_logp")))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("mean_logp", F.lit(0.0)).alias("mean_logp")))

@@ -415,3 +415,58 @@ def test_budget_mixture_weights(spark):
         budget_mixture_weights(df, {"ghost": 1.0}, 1000)
     with _pytest.raises(ValueError):
         budget_mixture_weights(df, ratios, 0)
+
+
+def test_ngram_lm_score(spark):
+    """Bigram LM scoring matches a numpy oracle exactly (same counts,
+    same add-alpha formula), ranks in-domain text above junk, and
+    zero-fills docs too short for a bigram."""
+    import math
+
+    import pandas as pd
+
+    from apollon_spark.ml.curation import ngram_lm_score
+    rng = np.random.default_rng(5)
+    # reference: a markov-ish in-domain stream over ids 0..15
+    ref_rows = []
+    for i in range(40):
+        toks = [int(t) for t in
+                np.cumsum(rng.integers(0, 3, 50)) % 16]
+        ref_rows.append({"doc_id": f"r{i}", "tokens": toks,
+                         "n_tok": len(toks)})
+    ref = spark.createDataFrame(pd.DataFrame(ref_rows))
+    doc_rows = [
+        {"doc_id": "indomain",
+         "tokens": [int(t) for t in np.cumsum(rng.integers(0, 3, 60)) % 16]},
+        {"doc_id": "junk",
+         "tokens": [int(t) for t in rng.integers(100, 256, 60)]},
+        {"doc_id": "tiny", "tokens": [3]},
+    ]
+    for r in doc_rows:
+        r["n_tok"] = len(r["tokens"])
+    docs = spark.createDataFrame(pd.DataFrame(doc_rows))
+    alpha, V = 0.1, 256
+    got = {r["doc_id"]: r.asDict()
+           for r in ngram_lm_score(docs, ref, alpha=alpha).collect()}
+
+    # numpy oracle
+    c2, c1 = {}, {}
+    for r in ref_rows:
+        t = r["tokens"]
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    for r in doc_rows:
+        t = r["tokens"]
+        if len(t) < 2:
+            assert got[r["doc_id"]]["n_bigrams"] == 0
+            assert got[r["doc_id"]]["mean_logp"] == 0.0
+            continue
+        lps = [math.log((c2.get((a, b), 0) + alpha)
+                        / (c1.get(a, 0) + alpha * V))
+               for a, b in zip(t, t[1:])]
+        want = sum(lps) / len(lps)
+        assert got[r["doc_id"]]["n_bigrams"] == len(lps)
+        np.testing.assert_allclose(got[r["doc_id"]]["mean_logp"], want,
+                                   rtol=1e-12)
+    assert got["indomain"]["mean_logp"] > got["junk"]["mean_logp"] + 1.0
