@@ -492,11 +492,21 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def _q_contamination(spark, sf_dir):
-    """Benchmark-contamination scan: md5-prefix benchmark split,
-    distinct 3-gram broadcast join, per-doc overlap fraction."""
-    from apollon_spark.ml.curation import benchmark_split, contamination_check
+    """Benchmark-contamination scan PLUS the CCNet-style bigram-LM
+    quality score, both against the same md5-prefix benchmark split:
+    distinct 3-gram broadcast join for the overlap fraction, and the
+    add-α bigram model counted on the benchmark slice for mean_logp
+    (late r04 — the ln/avg cross-engine risk is the same one
+    hmm_estep's log-likelihood already carries at 6dp)."""
+    from apollon_spark.ml.curation import (benchmark_split,
+                                           contamination_check,
+                                           ngram_lm_score)
     train, bench = benchmark_split(_docs(spark, sf_dir))
-    return contamination_check(train, bench, 3)
+    cont = contamination_check(train, bench, 3)
+    lm = ngram_lm_score(train, bench)
+    return (cont.join(lm, "doc_id")
+            .select("doc_id", "n_grams", "n_hit", "hit_frac",
+                    "n_bigrams", F.round("mean_logp", 6).alias("mean_logp")))
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -2741,15 +2751,46 @@ dg AS (
 hits AS (
   SELECT dg.doc_id, count(*) AS n_grams, count(bg.gram) AS n_hit
   FROM dg LEFT JOIN bg USING (gram) GROUP BY dg.doc_id
+),
+-- CCNet-style bigram LM counted on the SAME benchmark slice:
+-- P(t|s) = (c2 + 0.1) / (c1 + 0.1*256); ctx = gram // 256 (integer
+-- division — a double cast would ROUND in DuckDB where Spark
+-- truncates)
+bc2 AS (
+  SELECT gram, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(range(0, n_tok - 1),
+             i -> CAST(tokens[i + 1] AS BIGINT) * 256
+                + CAST(tokens[i + 2] AS BIGINT))) AS gram
+    FROM lab WHERE is_bench AND n_tok >= 2
+  ) GROUP BY gram
+),
+bc1 AS (SELECT gram // 256 AS ctx, sum(c2) AS c1 FROM bc2 GROUP BY ctx),
+tg AS (
+  SELECT doc_id, gram, gram // 256 AS ctx FROM (
+    SELECT doc_id, unnest(list_transform(range(0, n_tok - 1),
+             i -> CAST(tokens[i + 1] AS BIGINT) * 256
+                + CAST(tokens[i + 2] AS BIGINT))) AS gram
+    FROM lab WHERE NOT is_bench AND n_tok >= 2
+  )
+),
+lmsc AS (
+  SELECT tg.doc_id, count(*) AS n_bigrams,
+         avg(ln((COALESCE(bc2.c2, 0) + 0.1)
+                / (COALESCE(bc1.c1, 0) + 0.1 * 256))) AS mean_logp
+  FROM tg LEFT JOIN bc2 USING (gram) LEFT JOIN bc1 USING (ctx)
+  GROUP BY tg.doc_id
 )
 SELECT l.doc_id,
        COALESCE(n_grams, 0) AS n_grams,
        COALESCE(n_hit, 0) AS n_hit,
        CASE WHEN COALESCE(n_grams, 0) > 0
             THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
-            ELSE 0.0 END AS hit_frac
+            ELSE 0.0 END AS hit_frac,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       round(COALESCE(mean_logp, 0.0), 6) AS mean_logp
 FROM (SELECT doc_id FROM lab WHERE NOT is_bench) l
 LEFT JOIN hits USING (doc_id)
+LEFT JOIN lmsc USING (doc_id)
 """,
         "sample_stratified": f"""
 {_W}
