@@ -231,13 +231,17 @@ def main() -> None:
     R03_GROWN = {"docs_profile", "locf", "lag_delta", "text_profile"}
     R04_ADDED = {"peak_scan", "hmm_estep", "dup_passages", "nonlinear",
                  "cosine_semantic"}
+    # contamination absorbed NEW work late r04 (the bigram-LM scoring
+    # columns) — same exclusion rule as R03_GROWN: not apples-to-apples
+    # with its r03 timing, so it leaves the r03-comparable subtotal
+    R04_GROWN = {"contamination"}
     r01_subset = round(sum(v for k, v in queries.items()
                            if k not in R02_ADDED | R03_ADDED | R03_GROWN
                            | R04_ADDED), 3)
     r02_subset = round(sum(v for k, v in queries.items()
                            if k not in R03_ADDED | R03_GROWN | R04_ADDED), 3)
     r03_subset = round(sum(v for k, v in queries.items()
-                           if k not in R04_ADDED), 3)
+                           if k not in R04_ADDED | R04_GROWN), 3)
     grown_subtotal = round(sum(v for k, v in queries.items()
                                if k in R03_GROWN), 3)
     print(json.dumps({
