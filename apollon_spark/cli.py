@@ -100,8 +100,9 @@ def main(argv: list[str] | None = None) -> int:
                          "floor(w) times + a deterministic frac(w) "
                          "share once more; unlisted sources drop)")
     ap.add_argument("--benchmark", default=None,
-                    help="contaminate: path of the benchmark docs "
-                         "table (default: md5-prefix split of --input)")
+                    help="contaminate/lmscore: path of the benchmark/"
+                         "reference docs table (default: md5-prefix "
+                         "split of --input)")
     ap.add_argument("--pairs", default=None,
                     help="cluster: path of a pre-mined (id_a, id_b) "
                          "pair table (default: mine MinHash-LSH pairs "
@@ -464,10 +465,17 @@ def main(argv: list[str] | None = None) -> int:
         out = ngram_lm_score(scored, ref)
         storage.write_table(out, args.output)
         written = storage.read_table(spark, args.output)
-        n, mean_lp = written.select(
-            F.count("*"), F.avg("mean_logp")).first()
-        print(json.dumps({"docs_scored": n,
-                          "corpus_mean_logp": round(float(mean_lp or 0), 6)}))
+        # bigram-weighted corpus mean: the 0.0 zero-fill of bigram-less
+        # docs is "unscored", not "perfect" — a plain avg would pull
+        # the corpus score toward 0 on short-doc-heavy corpora
+        n, n_scored, tot_lp, tot_bg = written.select(
+            F.count("*"),
+            F.count(F.when(F.col("n_bigrams") > 0, 1)),
+            F.sum(F.col("mean_logp") * F.col("n_bigrams")),
+            F.sum("n_bigrams")).first()
+        mean_lp = float(tot_lp or 0.0) / max(int(tot_bg or 0), 1)
+        print(json.dumps({"docs": n, "docs_scored": int(n_scored),
+                          "corpus_mean_logp": round(mean_lp, 6)}))
     elif args.stage == "export":
         if args.export_format == "csv":
             storage.write_csv(docs, args.output)

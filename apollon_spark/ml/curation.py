@@ -471,9 +471,18 @@ def ngram_lm_score(docs: DataFrame, ref: DataFrame,
     perplexity filter of the classic curation stack.
 
     Returns (doc_id, n_bigrams, mean_logp) with mean_logp = 0.0 for
-    docs too short for a bigram (n_bigrams = 0).
+    docs too short for a bigram (n_bigrams = 0) — treat that as
+    "unscored", not "perfect": filter or weight by n_bigrams before
+    aggregating (the CLI stage weights by it).
 
         P(t | s) = (c(s,t) + α) / (c(s,·) + α·V)
+
+    Bigrams pack positionally base-``vocab_size`` (gram = s·V + t,
+    ctx = gram // V) — exact for token ids in [0, V) for any V whose
+    square fits int64 (V up to ~3e9), so real tokenizer vocabs work;
+    ids ≥ V would silently collide, same contract as doc_ngrams'
+    base-256 path. The contamination gate's oracle replays the V=256
+    default in SQL.
 
     Scale: the model is at most V² rows (the canonical 256-id space
     caps it at 65,536; real vocabs shrink it to observed bigrams) —
@@ -485,14 +494,28 @@ def ngram_lm_score(docs: DataFrame, ref: DataFrame,
     """
     if not 0 < alpha:
         raise ValueError("alpha must be positive")
-    bi_ref = (doc_ngrams(ref, 2, distinct=False)
+    if vocab_size < 2 or vocab_size * vocab_size >= 2 ** 63:
+        raise ValueError(f"vocab_size {vocab_size} out of range "
+                         f"[2, ~3e9] for exact base-V bigram packing")
+    V = vocab_size
+
+    def _bigrams(d: DataFrame) -> DataFrame:
+        expr = (f"transform(sequence(0, n_tok - 2), "
+                f"i -> cast(tokens[i] as long) * {V} "
+                f"+ cast(tokens[i + 1] as long))")
+        return (d.where(F.col("n_tok") >= 2)
+                .select("doc_id", F.explode(F.expr(expr)).alias("gram")))
+
+    # ctx via integer division (`div`): a double roundtrip would lose
+    # exactness once gram exceeds 2^53 (large-V packings)
+    bi_ref = (_bigrams(ref)
               .groupBy("gram").agg(F.count("*").alias("c2")))
     # unigram context counts: the leading token of each bigram
     uni_ref = (bi_ref
-               .withColumn("ctx", (F.col("gram") / 256).cast("long"))
+               .withColumn("ctx", F.expr(f"gram div {V}"))
                .groupBy("ctx").agg(F.sum("c2").alias("c1")))
-    grams = (doc_ngrams(docs, 2, distinct=False)
-             .withColumn("ctx", (F.col("gram") / 256).cast("long")))
+    grams = (_bigrams(docs)
+             .withColumn("ctx", F.expr(f"gram div {V}")))
     logp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + alpha)
         / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")

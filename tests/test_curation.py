@@ -470,3 +470,49 @@ def test_ngram_lm_score(spark):
         np.testing.assert_allclose(got[r["doc_id"]]["mean_logp"], want,
                                    rtol=1e-12)
     assert got["indomain"]["mean_logp"] > got["junk"]["mean_logp"] + 1.0
+
+
+def test_ngram_lm_score_large_vocab(spark):
+    """Base-V packing scores real-vocab token ids exactly: ids >= 256
+    with vocab_size=32000 match the numpy oracle; the base-256
+    collision pair ((0,256) vs (1,0)) stays distinct; bad vocab_size
+    rejects."""
+    import math
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from apollon_spark.ml.curation import ngram_lm_score
+    ref_rows = [
+        {"doc_id": "r0", "tokens": [0, 256, 0, 256, 0, 256]},
+        {"doc_id": "r1", "tokens": [1, 0, 1, 0]},
+        {"doc_id": "r2", "tokens": [31999, 500, 31999, 500]},
+    ]
+    doc_rows = [{"doc_id": "d0", "tokens": [0, 256, 0, 1, 0, 31999, 500]}]
+    for r in ref_rows + doc_rows:
+        r["n_tok"] = len(r["tokens"])
+    ref = spark.createDataFrame(pd.DataFrame(ref_rows))
+    docs = spark.createDataFrame(pd.DataFrame(doc_rows))
+    alpha, V = 0.1, 32000
+    got = ngram_lm_score(docs, ref, alpha=alpha,
+                         vocab_size=V).collect()[0]
+
+    c2, c1 = {}, {}
+    for r in ref_rows:
+        t = r["tokens"]
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    t = doc_rows[0]["tokens"]
+    lps = [math.log((c2.get((a, b), 0) + alpha)
+                    / (c1.get(a, 0) + alpha * V))
+           for a, b in zip(t, t[1:])]
+    assert got["n_bigrams"] == len(lps)
+    np.testing.assert_allclose(got["mean_logp"], sum(lps) / len(lps),
+                               rtol=1e-12)
+    # (0,256) must not alias (1,0): their ref counts differ (3 vs 2)
+    assert c2[(0, 256)] != c2[(1, 0)]
+    with _pytest.raises(ValueError):
+        ngram_lm_score(docs, ref, vocab_size=1)
+    with _pytest.raises(ValueError):
+        ngram_lm_score(docs, ref, vocab_size=4_000_000_000)
