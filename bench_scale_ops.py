@@ -97,6 +97,22 @@ def main() -> None:
         "n_span_starts": n_spans,
         "windows_per_sec": round(total_tokens / t_pass, 0),
     }
+    # --- bigram-LM quality scoring (CCNet-style) ---------------------
+    # reference = a deterministic 1/16 split of the same corpus; the
+    # model is broadcast, so the corpus side is scan + map-side joins
+    from apollon_spark.ml.curation import benchmark_split, ngram_lm_score
+    t0 = time.time()
+    train, ref = benchmark_split(docs)
+    lm = ngram_lm_score(train, ref)
+    n_lm, tot_bg = lm.agg(F.count("*"), F.sum("n_bigrams")).first()
+    t_lm = time.time() - t0
+    out["ngram_lm_score"] = {
+        "sec": round(t_lm, 2),
+        "docs_scored": n_lm,
+        "n_bigrams": int(tot_bg),
+        "bigrams_per_sec": round(tot_bg / t_lm, 0),
+    }
+
     # --- semantic dedup (SemDeDup) -----------------------------------
     # 10x the per-round bench's vector count; clustered Gaussians so
     # semantic dups exist. n_clusters scales with corpus size — the
