@@ -154,3 +154,30 @@ def test_r04_ops_empty(spark, empty_docs):
 
     assert contamination_check(empty_docs, empty_docs, k=5,
                                packing="hash").count() == 0
+
+
+def test_late_r04_ops_empty(spark, empty_docs):
+    """Empty-input sweep for the late-r04 additions: quality filter,
+    LM scorer, EM-step docs, budget planner (no-mass raise)."""
+    import pytest as _pytest
+
+    from apollon_spark.hmm import em_step_docs
+    from apollon_spark.ml.curation import (budget_mixture_weights,
+                                           ngram_lm_score, quality_filter)
+
+    empty_text = spark.createDataFrame([], "doc_id string, text string")
+    assert quality_filter(empty_text).count() == 0
+
+    assert ngram_lm_score(empty_docs, empty_docs).count() == 0
+    # empty reference, non-empty corpus: pure smoothing-mass scores
+    docs = spark.createDataFrame(
+        [("a", [1, 2, 3], 3)], "doc_id string, tokens array<int>, n_tok int")
+    row = ngram_lm_score(docs, empty_docs).collect()[0]
+    assert row["n_bigrams"] == 2 and row["mean_logp"] < 0
+
+    assert em_step_docs(empty_docs, (16.0, 128.0),
+                        ((0.75, 0.25), (0.375, 0.625)), (0.5, 0.5)) \
+        .count() == 0
+
+    with _pytest.raises(ValueError, match="no ratio mass"):
+        budget_mixture_weights(empty_docs, {"web": 1.0}, 1000)
