@@ -1443,6 +1443,63 @@ LEFT JOIN neg n USING (doc_id)
 """
 
 
+def _dft_grad_ctes(n: int, hop: int) -> str:
+    """The literal-DFT CTE block SHARED by _features_battery_sql and
+    _onsets_sql: segs (frame index explosion off a prior ``meta`` CTE
+    carrying (doc_id, tokens, n_tok, n_segs)), the mantissa-exact
+    hamming-DFT ``basis`` VALUES table at size ``n``, the windowed
+    matmul ``spec``, normalized magnitudes ``mag``, and np.gradient's
+    edge-stencil ``grad``. Parameterized here ONCE so a fix to the
+    framing arithmetic or the basis literal format cannot desync the
+    two oracles (they share these semantics by construction; only
+    their ``meta`` n_segs formula and flux projection differ)."""
+    import math
+
+    import numpy as np
+
+    from apollon_spark.functions.windows import get_window
+    nbins = n // 2 + 1
+    win = get_window("hamming", n)
+    norm_c = _exact_double(math.sqrt(win.sum() ** 2))
+    ang = 2.0 * np.pi * np.outer(np.arange(nbins), np.arange(n)) / n
+    wc = np.cos(ang) * win
+    ws = np.sin(ang) * win
+    basis = ",".join(
+        f"({k},{t},{_exact_double(wc[k, t])},{_exact_double(ws[k, t])})"
+        for k in range(nbins) for t in range(n))
+    return f"""segs AS (
+  SELECT doc_id, tokens, n_tok, n_segs,
+         CAST(unnest(range(n_segs)) AS INT) AS s
+  FROM meta
+),
+basis(k, t, wc, ws) AS (VALUES {basis}),
+spec AS (
+  SELECT g.doc_id, g.s, g.n_segs, b.k,
+         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
+                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
+                  ELSE 0.0 END * b.wc) AS re,
+         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
+                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
+                  ELSE 0.0 END * b.ws) AS im
+  FROM segs g CROSS JOIN basis b
+  GROUP BY g.doc_id, g.s, g.n_segs, b.k
+),
+mag AS (
+  SELECT doc_id, s, n_segs, k,
+         sqrt((re/{norm_c}*2)*(re/{norm_c}*2)
+              + (im/{norm_c}*2)*(im/{norm_c}*2)) AS m
+  FROM spec
+),
+grad AS (
+  SELECT doc_id, s, n_segs,
+         CASE WHEN s = 0 THEN lead(m) OVER wk - m
+              WHEN s = n_segs - 1 THEN m - lag(m) OVER wk
+              ELSE (lead(m) OVER wk - lag(m) OVER wk) / 2.0 END AS gr
+  FROM mag
+  WINDOW wk AS (PARTITION BY doc_id, k ORDER BY s)
+)"""
+
+
 def _features_battery_sql() -> str:
     """features_battery oracle: the FULL spectral battery replayed in
     SQL at framing 32/16. Build-time numpy precomputes every constant
@@ -1459,24 +1516,13 @@ def _features_battery_sql() -> str:
     sharpness' whole-doc scalar denominator as a partition sum. Both
     sides round to 6 decimals, absorbing the ~1-ulp FFT-vs-basis and
     libm drift (verified value-exact at sf0.001/0.01/0.1)."""
-    import math
-
     import numpy as np
 
     from apollon_spark.functions import kernels as K
-    from apollon_spark.functions.windows import get_window
     n, hop, fps = 32, 16, 9000
     nbins = n // 2 + 1
-    win = get_window("hamming", n)
-    norm_c = _exact_double(math.sqrt(win.sum() ** 2))
     frqs = K.rfftfreq(n, fps)
     bank = K.bark_filter_bank(frqs)
-    ang = 2.0 * np.pi * np.outer(np.arange(nbins), np.arange(n)) / n
-    wc = np.cos(ang) * win
-    ws = np.sin(ang) * win
-    basis = ",".join(
-        f"({k},{t},{_exact_double(wc[k, t])},{_exact_double(ws[k, t])})"
-        for k in range(nbins) for t in range(n))
     frq_lits = ",".join(f"({k},{_exact_double(frqs[k])})"
                         for k in range(nbins))
     bankw = ",".join(f"({b},{k},{_exact_double(bank[b, k])})"
@@ -1496,12 +1542,7 @@ meta AS (
                - {hop}) // {hop} AS INT) AS n_segs
   FROM docs WHERE n_tok >= {n}
 ),
-segs AS (
-  SELECT doc_id, tokens, n_tok, n_segs,
-         CAST(unnest(range(n_segs)) AS INT) AS s
-  FROM meta
-),
-basis(k, t, wc, ws) AS (VALUES {basis}),
+{_dft_grad_ctes(n, hop)},
 frq(k, f) AS (VALUES {frq_lits}),
 bankw(b, k, w) AS (VALUES {bankw}),
 bands(b, zw) AS (VALUES {bands}),
@@ -1513,23 +1554,6 @@ tdom AS (
                      * tokens[{hop}*s - {hop} + t + 1]
                 ELSE 0 END)) AS DOUBLE) AS energy
   FROM segs
-),
-spec AS (
-  SELECT g.doc_id, g.s, g.n_segs, b.k,
-         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
-                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
-                  ELSE 0.0 END * b.wc) AS re,
-         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
-                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
-                  ELSE 0.0 END * b.ws) AS im
-  FROM segs g CROSS JOIN basis b
-  GROUP BY g.doc_id, g.s, g.n_segs, b.k
-),
-mag AS (
-  SELECT doc_id, s, n_segs, k,
-         sqrt((re/{norm_c}*2)*(re/{norm_c}*2)
-              + (im/{norm_c}*2)*(im/{norm_c}*2)) AS m
-  FROM spec
 ),
 mtot AS (
   SELECT doc_id, s, n_segs,
@@ -1564,14 +1588,6 @@ moments AS (
   JOIN mtot t ON t.doc_id = m.doc_id AND t.s = m.s
   JOIN cen c ON c.doc_id = m.doc_id AND c.s = m.s
   GROUP BY m.doc_id, m.s, c.centroid, c.spread
-),
-grad AS (
-  SELECT doc_id, s, n_segs,
-         CASE WHEN s = 0 THEN lead(m) OVER wk - m
-              WHEN s = n_segs - 1 THEN m - lag(m) OVER wk
-              ELSE (lead(m) OVER wk - lag(m) OVER wk) / 2.0 END AS gr
-  FROM mag
-  WINDOW wk AS (PARTITION BY doc_id, k ORDER BY s)
 ),
 flux AS (
   SELECT doc_id, s, sum(greatest(gr, 0.0)) AS flux
@@ -1734,21 +1750,8 @@ def _onsets_sql() -> str:
     FFT-vs-basis-matmul drift in float intermediates cannot reach the
     hash: a flip would need two UNRELATED float comparisons within one
     ulp (verified tuple-exact at sf0.001/0.01/0.1)."""
-    import math
-
-    import numpy as np
-
-    from apollon_spark.functions.windows import get_window
-    n, hop, nbins = _ONS_N, _ONS_HOP, _ONS_BINS
+    n, hop = _ONS_N, _ONS_HOP
     nb, na = _ONS_NB, _ONS_NA
-    win = get_window("hamming", n)
-    norm_c = _exact_double(math.sqrt(win.sum() ** 2))
-    ang = 2.0 * np.pi * np.outer(np.arange(nbins), np.arange(n)) / n
-    wc = np.cos(ang) * win
-    ws = np.sin(ang) * win
-    basis = ",".join(
-        f"({k},{t},{_exact_double(wc[k, t])},{_exact_double(ws[k, t])})"
-        for k in range(nbins) for t in range(n))
     a = _exact_double(_ONS_ALPHA)
     b = _exact_double(1.0 - _ONS_ALPHA)
     d = _exact_double(_ONS_DELTA)
@@ -1760,37 +1763,7 @@ meta AS (
               // {hop} AS INT) AS n_segs
   FROM docs WHERE n_tok >= 32
 ),
-segs AS (
-  SELECT doc_id, tokens, n_tok, n_segs,
-         CAST(unnest(range(n_segs)) AS INT) AS s
-  FROM meta
-),
-basis(k, t, wc, ws) AS (VALUES {basis}),
-spec AS (
-  SELECT g.doc_id, g.s, g.n_segs, b.k,
-         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
-                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
-                  ELSE 0.0 END * b.wc) AS re,
-         sum(CASE WHEN {hop}*g.s - {hop} + b.t BETWEEN 0 AND g.n_tok - 1
-                  THEN CAST(g.tokens[{hop}*g.s - {hop} + b.t + 1] AS DOUBLE)
-                  ELSE 0.0 END * b.ws) AS im
-  FROM segs g CROSS JOIN basis b
-  GROUP BY g.doc_id, g.s, g.n_segs, b.k
-),
-mag AS (
-  SELECT doc_id, s, n_segs, k,
-         sqrt((re/{norm_c}*2)*(re/{norm_c}*2)
-              + (im/{norm_c}*2)*(im/{norm_c}*2)) AS m
-  FROM spec
-),
-grad AS (
-  SELECT doc_id, s, n_segs,
-         CASE WHEN s = 0 THEN lead(m) OVER wk - m
-              WHEN s = n_segs - 1 THEN m - lag(m) OVER wk
-              ELSE (lead(m) OVER wk - lag(m) OVER wk) / 2.0 END AS gr
-  FROM mag
-  WINDOW wk AS (PARTITION BY doc_id, k ORDER BY s)
-),
+{_dft_grad_ctes(n, hop)},
 flux AS (
   SELECT doc_id, s, n_segs, sum(greatest(gr, 0.0)) AS fx
   FROM grad GROUP BY doc_id, s, n_segs

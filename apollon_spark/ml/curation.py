@@ -359,7 +359,10 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     """
     from .textstats import LANG_MARKERS
     r = {**GOPHER_DEFAULTS, **overrides}
-    text = F.col(text_col)
+    # NULL text counts as empty: without the coalesce every rule built
+    # on split()/size() would emit NULL flags (not false), breaking
+    # the boolean contract and downstream per-rule drop-rate counts
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
     n_words = F.size(words)
     sum_wlen = F.aggregate(words, F.lit(0).cast("long"),

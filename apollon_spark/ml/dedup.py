@@ -884,7 +884,17 @@ def _cc_star(pairs: DataFrame, max_iter: int = 25,
                            F.col("u").alias("cluster_id"))
     roots = (edges.select(F.col("u").alias("node")).distinct()
              .withColumn("cluster_id", F.col("node")))
-    return members.union(roots)
+    # nodes seen ONLY in self-pairs were dropped by the u != v
+    # canonicalization; return them as singletons so both algorithms
+    # honor the same "every node that appears in a pair" contract
+    touched = edges.select("u").union(edges.select(F.col("v").alias("u")))
+    selfonly = (pairs.where(F.col("id_a") == F.col("id_b"))
+                .select(F.col("id_a").alias("node")).distinct()
+                .join(touched.distinct()
+                      .withColumnRenamed("u", "node"), "node",
+                      "left_anti")
+                .withColumn("cluster_id", F.col("node")))
+    return members.union(roots).union(selfonly)
 
 
 def resolve_dup_clusters(docs: DataFrame, pairs: DataFrame,

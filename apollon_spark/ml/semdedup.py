@@ -45,12 +45,24 @@ VERDICT_SCHEMA = ("id long, cluster int, centroid_sim double, "
                   "group_id long, keep int")
 
 
-def _default_centroids(vectors: DataFrame, vec_col: str, n_clusters: int,
-                       sample_size: int, seed: int) -> np.ndarray | None:
-    """kmeans++ centroids from a driver-side sample; None on an empty
-    corpus (np.stack([]) would raise — callers short-circuit to an
-    empty result instead)."""
-    rows = vectors.select(vec_col).limit(sample_size).collect()
+def _default_centroids(vectors: DataFrame, id_col: str, vec_col: str,
+                       n_clusters: int, sample_size: int,
+                       seed: int) -> np.ndarray | None:
+    """kmeans++ centroids from a deterministic corpus-WIDE sample:
+    the ``sample_size`` rows with the smallest md5(id) — a seedless
+    uniform draw (the repo's salted-coin device), NOT the physically
+    first rows. A bare ``limit()`` would read one file's worth — one
+    source/domain on a per-source ingest layout — and centroids
+    describing only that region let the other sources collapse into
+    catch-all clusters, degrading the within-cluster quadratic toward
+    n². TakeOrderedAndProject keeps this a per-partition top-k merge,
+    no full shuffle. None on an empty corpus (np.stack([]) would
+    raise — callers short-circuit to an empty result instead)."""
+    rows = (vectors
+            .select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                    vec_col)
+            .orderBy("_h").limit(sample_size)
+            .select(vec_col).collect())
     if not rows:
         return None
     sample = np.stack([np.asarray(r[0], "float64") for r in rows])
@@ -115,8 +127,9 @@ def semantic_dup_pairs(vectors: DataFrame, threshold: float,
     keys_checkpointed = assign is not None
     if assign is None:
         if centroids is None:
-            centroids = _default_centroids(vectors, vec_col, n_clusters,
-                                           sample_size, seed)
+            centroids = _default_centroids(vectors, id_col, vec_col,
+                                           n_clusters, sample_size,
+                                           seed)
             if centroids is None:    # empty corpus
                 return vectors.sparkSession.createDataFrame(
                     [], PAIR_SCHEMA)
@@ -162,8 +175,8 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
     groups (singletons hit tiny partitions) and one id-shuffle join
     back to the corpus."""
     if centroids is None:
-        centroids = _default_centroids(vectors, vec_col, n_clusters,
-                                       sample_size, seed)
+        centroids = _default_centroids(vectors, id_col, vec_col,
+                                       n_clusters, sample_size, seed)
         if centroids is None:        # empty corpus
             return vectors.sparkSession.createDataFrame(
                 [], VERDICT_SCHEMA)

@@ -139,9 +139,12 @@ def run_bucketed_job(spark: SparkSession, docs: DataFrame, out_dir: str,
                 if k >= n_buckets:
                     shutil.rmtree(os.path.join(job_dir, name),
                                   ignore_errors=True)
-                    stale_marker = os.path.join(done_dir, f"bucket={k}")
-                    if os.path.exists(stale_marker):
-                        os.remove(stale_marker)
+                    for stale in (
+                            os.path.join(done_dir, f"bucket={k}"),
+                            os.path.join(lineage_dir,
+                                         f"bucket_{k}.json")):
+                        if os.path.exists(stale):
+                            os.remove(stale)
                     summary["stale_buckets_removed"] = (
                         summary.get("stale_buckets_removed", 0) + 1)
     return summary

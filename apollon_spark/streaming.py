@@ -157,6 +157,31 @@ def stream_exact_dedup(docs: DataFrame, content_col: str = "text",
     return out.drop("__content_h")
 
 
+def store_meta_guard(store_path: str, params: dict) -> None:
+    """Pin the store-layout parameters that the partition-pruning
+    invariant depends on (``n_prefixes`` above all: a store written
+    under one modulus is UNREADABLE-correctly under another — the
+    pruned read would silently miss matching partitions). First use
+    writes ``<store>/_store_meta.json``; every later open validates
+    and raises on mismatch instead of silently missing duplicates."""
+    import json
+    import os
+    meta_path = os.path.join(store_path, "_store_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored = json.load(fh)
+        if stored != params:
+            raise ValueError(
+                f"store at {store_path} was written with {stored}; "
+                f"reopening with {params} would break partition "
+                f"pruning (silently missed duplicates) — use the "
+                f"original parameters or a fresh store path")
+        return
+    os.makedirs(store_path, exist_ok=True)
+    with open(meta_path, "w") as fh:
+        json.dump(params, fh)
+
+
 def banded_store_read(spark, store_path: str, keys, epoch_id: int,
                       exclude_epoch: bool = True) -> DataFrame | None:
     """Partition-pruned read of the pre-banded signature store: only
@@ -248,6 +273,9 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
     from .ml.dedup import (_band_sigs, minhash_docs,
                            signature_est_jaccard_udf)
 
+    store_meta_guard(store_path, {
+        "kind": "minhash", "n_hashes": n_hashes, "n_bands": n_bands,
+        "shingle_k": shingle_k, "seed": seed, "n_prefixes": n_prefixes})
     stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
               .parquet(src_path))
 
@@ -396,6 +424,8 @@ def stream_duplicate_passages(spark, src_path: str, store_path: str,
 
     from .ml.dedup import _doc_passages
 
+    store_meta_guard(store_path, {"kind": "passages", "k": k,
+                                  "n_prefixes": n_prefixes})
     stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
               .parquet(src_path))
 

@@ -497,3 +497,15 @@ def test_merge_passage_spans_and_dup_stats(spark):
     assert stats["y"]["n_dup_tokens"] == 6
     assert stats["x"]["dup_frac"] == 6 / 8
     assert stats["z"]["n_dup_tokens"] == 0 and stats["z"]["dup_frac"] == 0.0
+
+
+def test_cc_self_pair_only_nodes_both_algorithms(spark):
+    """A node appearing ONLY in a self-pair must come back as its own
+    singleton from BOTH algorithms (the star canonicalization drops
+    self-loops internally; the contract must not differ by algorithm)."""
+    pairs = spark.createDataFrame(
+        [("a", "a"), ("b", "c")], "id_a string, id_b string")
+    for algo in ("propagate", "star"):
+        got = {r["node"]: r["cluster_id"] for r in
+               dedup.connected_components(pairs, algorithm=algo).collect()}
+        assert got == {"a": "a", "b": "b", "c": "b"}, (algo, got)

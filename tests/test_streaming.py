@@ -415,3 +415,18 @@ def test_stream_duplicate_passages_matches_batch(spark, tmp_path):
             duplicate_passage_spans(alldocs, k=8, key="hash").collect()}
     assert want, "fixture must contain duplicated passages"
     assert got == want
+
+
+def test_store_meta_guard(tmp_path):
+    """The store pins its layout parameters: same params reopen fine,
+    a different n_prefixes (which would break partition pruning and
+    silently miss duplicates) raises."""
+    import pytest as _pytest
+
+    from apollon_spark.streaming import store_meta_guard
+    store = str(tmp_path / "sigs")
+    params = {"kind": "minhash", "n_prefixes": 16, "n_bands": 4}
+    store_meta_guard(store, params)
+    store_meta_guard(store, dict(params))          # idempotent reopen
+    with _pytest.raises(ValueError, match="partition pruning"):
+        store_meta_guard(store, {**params, "n_prefixes": 32})
