@@ -119,12 +119,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-docs", type=int, default=2,
                     help="passages: min distinct docs sharing a window "
                          "for it to count as duplicated")
-    ap.add_argument("--emit", choices=["spans", "stats"],
+    ap.add_argument("--emit", choices=["spans", "stats", "cut"],
                     default="spans",
                     help="passages: 'spans' = duplicated window starts "
                          "per doc; 'stats' = per-doc duplication "
                          "coverage fraction (merged spans, the "
-                         "curation filter signal)")
+                         "curation filter signal); 'cut' = excised "
+                         "corpus (every duplicated span removed except "
+                         "one canonical occurrence — Lee et al. "
+                         "keep-one semantics)")
     ap.add_argument("--cc-algorithm", choices=["propagate", "star"],
                     default="propagate",
                     help="cluster: connected-components algorithm — "
@@ -247,8 +250,19 @@ def main(argv: list[str] | None = None) -> int:
         # >= --min-docs distinct docs
         from pyspark.sql import functions as F
 
-        from .ml.dedup import duplicate_passage_spans, passage_dup_stats
-        if args.emit == "stats":
+        from .ml.dedup import (duplicate_passage_spans, excise_passages,
+                               passage_dup_stats, passage_removal_spans)
+        if args.emit == "cut":
+            spans = passage_removal_spans(docs, k=args.passage_k,
+                                          min_docs=args.min_docs)
+            out = excise_passages(docs, spans)
+            storage.write_table(out, args.output)
+            written = storage.read_table(spark, args.output)
+            n_docs_all, removed = written.select(
+                F.count("*"), F.sum("n_removed")).first()
+            print(json.dumps({"docs": n_docs_all,
+                              "tokens_removed": int(removed or 0)}))
+        elif args.emit == "stats":
             out = passage_dup_stats(docs, k=args.passage_k,
                                     min_docs=args.min_docs)
             storage.write_table(out, args.output)

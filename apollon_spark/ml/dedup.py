@@ -602,6 +602,76 @@ def passage_dup_stats(docs: DataFrame, k: int = 16, key: str = "hash",
                 .otherwise(F.lit(0.0))))
 
 
+def passage_removal_spans(docs: DataFrame, k: int = 16,
+                          key: str = "hash",
+                          min_docs: int = 2) -> DataFrame:
+    """The spans a trainer actually CUTS (Lee et al. ACL'22 keep-one
+    semantics): every duplicated window occurrence EXCEPT one
+    canonical occurrence per content — deterministically the globally
+    first by (doc_id, pos) — merged into maximal per-doc token spans.
+
+    Returns (doc_id, span_start, span_end, n_windows), span_end
+    exclusive — feed to ``excise_passages``.
+
+    Scale: the canonical pick is one window over the DUPLICATED
+    occurrence subset partitioned by pkey (occurrence-scale, not
+    corpus-scale; WindowGroupLimit-sized groups — n_occur per
+    content); everything upstream is the duplicate_passage_spans
+    machinery."""
+    p = _doc_passages(docs, k, key)
+    occ = p.join(_dup_table(p, min_docs).select("pkey"), "pkey")
+    w = Window.partitionBy("pkey").orderBy("doc_id", "pos")
+    noncanon = (occ.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") > 1)
+                .select("doc_id", "pos"))
+    return merge_passage_spans(noncanon, k)
+
+
+def excise_passages(docs: DataFrame,
+                    spans: DataFrame) -> DataFrame:
+    """Cut (exclusive-end) token spans out of each doc: returns
+    (doc_id, tokens, n_tok, n_removed) where ``tokens`` is the
+    in-order concatenation of the complement slices. Docs with no
+    spans pass through (n_removed = 0). Compose with
+    ``passage_removal_spans`` for Lee et al.'s remove-all-but-one
+    substring dedup; note the paper's own caveat applies — cutting
+    can create NEW adjacencies, so one pass is not a fixed point.
+
+    Scale: spans collapse to one tiny per-doc list (span-scale
+    groupBy); the token payload moves ONCE through the left join +
+    Arrow pass — no per-row Python, no payload self-shuffle."""
+    from typing import Iterator as _Iter
+
+    span_lists = (spans.groupBy("doc_id")
+                  .agg(F.sort_array(F.collect_list(F.struct(
+                      F.col("span_start").alias("s"),
+                      F.col("span_end").alias("e")))).alias("_spans")))
+    src = (docs.select("doc_id", "tokens")
+           .join(span_lists, "doc_id", "left"))
+
+    def cut(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, toks, sp in zip(pdf["doc_id"], pdf["tokens"],
+                                        pdf["_spans"]):
+                t = np.asarray(toks, dtype="int32")
+                if sp is None or len(sp) == 0:
+                    out.append((doc_id, t, len(t), 0))
+                    continue
+                keep = np.ones(len(t), dtype=bool)
+                for iv in sp:
+                    keep[iv["s"]:iv["e"]] = False
+                kept = t[keep]
+                out.append((doc_id, kept, len(kept),
+                            int(len(t) - len(kept))))
+            if out:
+                yield pd.DataFrame(out, columns=[
+                    "doc_id", "tokens", "n_tok", "n_removed"])
+
+    return src.mapInPandas(
+        cut, "doc_id string, tokens array<int>, n_tok int, n_removed int")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------

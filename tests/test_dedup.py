@@ -509,3 +509,56 @@ def test_cc_self_pair_only_nodes_both_algorithms(spark):
         got = {r["node"]: r["cluster_id"] for r in
                dedup.connected_components(pairs, algorithm=algo).collect()}
         assert got == {"a": "a", "b": "b", "c": "b"}, (algo, got)
+
+
+def test_passage_excision(spark):
+    """passage_removal_spans + excise_passages match a numpy oracle
+    implementing the same keep-one-canonical algorithm; the canonical
+    occurrence survives the cut; clean docs pass through."""
+    k = 4
+    shared = [9, 8, 7, 6, 5, 4]                    # 3 duplicated windows
+    rows = [
+        {"doc_id": "a", "tokens": [1, 2] + shared + [3]},
+        {"doc_id": "b", "tokens": [10, 11, 12] + shared},
+        {"doc_id": "c", "tokens": shared + [20, 21]},
+        {"doc_id": "clean", "tokens": [5, 6, 5, 6, 5, 6, 7, 8]},
+    ]
+    for r in rows:
+        r["n_tok"] = len(r["tokens"])
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+
+    spans = dedup.passage_removal_spans(docs, k=k, key="hash")
+    out = {r["doc_id"]: r for r in
+           dedup.excise_passages(docs, spans).collect()}
+
+    # numpy oracle: same algorithm — window table, dup contents,
+    # keep-one by (doc_id, pos), merge, cut
+    wins = {}
+    for r in rows:
+        t = r["tokens"]
+        for p in range(len(t) - k + 1):
+            wins.setdefault(tuple(t[p:p + k]), []).append(
+                (r["doc_id"], p))
+    cut_pos = {}
+    for occs in wins.values():
+        docs_hit = {d for d, _ in occs}
+        if len(docs_hit) < 2:
+            continue
+        for d, p in sorted(occs)[1:]:              # drop non-canonical
+            cut_pos.setdefault(d, set()).update(range(p, p + k))
+    for r in rows:
+        want = [tok for i, tok in enumerate(r["tokens"])
+                if i not in cut_pos.get(r["doc_id"], set())]
+        got = out[r["doc_id"]]
+        assert list(got["tokens"]) == want, (r["doc_id"], got["tokens"])
+        assert got["n_tok"] == len(want)
+        assert got["n_removed"] == r["n_tok"] - len(want)
+    assert out["clean"]["n_removed"] == 0
+    # the canonical occurrence (doc 'a', smallest doc_id) kept intact
+    assert any(list(out["a"]["tokens"])[i:i + len(shared)] == shared
+               for i in range(len(out["a"]["tokens"])))
+    # the duplicated content is gone from every other doc
+    for d in ("b", "c"):
+        toks = list(out[d]["tokens"])
+        assert all(toks[i:i + k] != shared[:k]
+                   for i in range(max(len(toks) - k + 1, 0)))
