@@ -669,15 +669,29 @@ def _q_battery_paths(spark, sf_dir):
 
 def _q_dup_passages(spark, sf_dir):
     """Exact duplicate-passage detection (fixed-k variant of Lee et
-    al. ACL'22 exact substring dedup): every position whose 8-token
-    window content appears in >= 2 distinct docs, with the content's
-    corpus doc- and occurrence-counts. md5 content keys are
-    byte-identical in Spark and DuckDB, so the whole operator —
-    window explosion, corpus aggregate, span join — value-oracles."""
-    from apollon_spark.ml.dedup import duplicate_passage_spans
+    al. ACL'22 exact substring dedup), method-tagged union of BOTH
+    faces: 'occur' = every position whose 8-token window content
+    appears in >= 2 distinct docs with the content's corpus doc- and
+    occurrence-counts (pos, a=n_docs, b=n_occur); 'cut' (late r04) =
+    the maximal removal spans under keep-one-canonical semantics
+    (pos=span_start, a=span_end, b=n_windows). md5 content keys are
+    byte-identical in Spark and DuckDB, so window explosion, corpus
+    aggregate, span join, canonical row_number pick AND the
+    gaps-and-islands merge all value-oracle."""
+    from apollon_spark.ml.dedup import (duplicate_passage_spans,
+                                        passage_removal_spans)
     docs = _docs(spark, sf_dir)
-    return duplicate_passage_spans(docs, k=8, key="md5", min_docs=2) \
-        .select("doc_id", "pos", "n_docs", "n_occur")
+    occ = duplicate_passage_spans(docs, k=8, key="md5", min_docs=2) \
+        .select(F.lit("occur").alias("method"), "doc_id",
+                F.col("pos").cast("long").alias("pos"),
+                F.col("n_docs").cast("long").alias("a"),
+                F.col("n_occur").cast("long").alias("b"))
+    cut = passage_removal_spans(docs, k=8, key="md5", min_docs=2) \
+        .select(F.lit("cut").alias("method"), "doc_id",
+                F.col("span_start").cast("long").alias("pos"),
+                F.col("span_end").cast("long").alias("a"),
+                F.col("n_windows").cast("long").alias("b"))
+    return occ.unionByName(cut)
 
 
 def _q_cosine_semantic(spark, sf_dir):
@@ -2590,9 +2604,37 @@ d AS (
   SELECT pkey, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_occur
   FROM p GROUP BY pkey HAVING count(DISTINCT doc_id) >= 2
+),
+-- keep-one-canonical removal spans: drop the globally-first
+-- (doc_id, pos) occurrence of each duplicated content, merge the
+-- rest per doc via gaps-and-islands, cover [min(pos), max(pos) + k)
+noncanon AS (
+  SELECT doc_id, pos FROM (
+    SELECT p.doc_id, p.pos,
+           row_number() OVER (PARTITION BY p.pkey
+                              ORDER BY p.doc_id, p.pos) AS rk
+    FROM p JOIN d USING (pkey)
+  ) WHERE rk > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pos) AS g
+  FROM noncanon
+),
+cutspans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 8 AS BIGINT) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM isl GROUP BY doc_id, g
 )
-SELECT p.doc_id, p.pos, d.n_docs, d.n_occur
+SELECT 'occur' AS method, p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+       d.n_docs AS a, d.n_occur AS b
 FROM p JOIN d USING (pkey)
+UNION ALL
+SELECT 'cut' AS method, doc_id, span_start AS pos,
+       span_end AS a, n_windows AS b
+FROM cutspans
 """,
         # r04 consolidation: topk cut + rank-free rerank cut union
         # under one method-tagged gate (rerank rows carry rank 0)
