@@ -562,3 +562,56 @@ def test_passage_excision(spark):
         toks = list(out[d]["tokens"])
         assert all(toks[i:i + k] != shared[:k]
                    for i in range(max(len(toks) - k + 1, 0)))
+
+
+def test_passage_excision_property(spark):
+    """Property-based excision parity: ANY random corpus (small token
+    alphabet so duplicated windows arise naturally) must match the
+    numpy keep-one-canonical oracle doc-for-doc. Few examples — each
+    is a real Spark job — with a wide generator."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(n_docs=st.integers(min_value=1, max_value=8),
+           alpha=st.integers(min_value=2, max_value=5),
+           k=st.integers(min_value=2, max_value=5),
+           seed=st.integers(min_value=0, max_value=2**31 - 1))
+    def prop(n_docs, alpha, k, seed):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n_docs):
+            n = int(rng.integers(0, 24))
+            rows.append({"doc_id": f"d{i:02d}",
+                         "tokens": [int(t) for t in
+                                    rng.integers(0, alpha, n)],
+                         "n_tok": n})
+        docs = spark.createDataFrame(
+            pd.DataFrame(rows),
+            "doc_id string, tokens array<int>, n_tok int")
+        spans = dedup.passage_removal_spans(docs, k=k, key="md5")
+        got = {r["doc_id"]: r for r in
+               dedup.excise_passages(docs, spans).collect()}
+
+        wins = {}
+        for r in rows:
+            t = r["tokens"]
+            for p in range(len(t) - k + 1):
+                wins.setdefault(tuple(t[p:p + k]), []).append(
+                    (r["doc_id"], p))
+        cut = {}
+        for occs in wins.values():
+            if len({d for d, _ in occs}) < 2:
+                continue
+            for d, p in sorted(occs)[1:]:
+                cut.setdefault(d, set()).update(range(p, p + k))
+        for r in rows:
+            want = [tok for i, tok in enumerate(r["tokens"])
+                    if i not in cut.get(r["doc_id"], set())]
+            g = got[r["doc_id"]]
+            assert list(g["tokens"]) == want, (r["doc_id"], seed)
+            assert g["n_tok"] == len(want)
+            assert g["n_removed"] == r["n_tok"] - len(want)
+
+    prop()
