@@ -2616,11 +2616,22 @@ noncanon AS (
     FROM p JOIN d USING (pkey)
   ) WHERE rk > 1
 ),
+brk AS (
+  -- island breaks only when the gap between consecutive starts
+  -- EXCEEDS k (= 8): windows <= k apart overlap/touch, so start-
+  -- adjacency islands would emit overlapping spans (two levels:
+  -- DuckDB forbids nesting lag inside the running sum's window)
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS b
+  FROM noncanon
+),
 isl AS (
   SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY pos) AS g
-  FROM noncanon
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
 ),
 cutspans AS (
   SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,

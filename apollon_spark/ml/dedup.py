@@ -549,23 +549,30 @@ def duplicate_passage_spans(docs: DataFrame, k: int = 16,
 
 
 def merge_passage_spans(spans: DataFrame, k: int) -> DataFrame:
-    """Merge duplicated window STARTS into maximal token spans per doc
-    (the intervals a trainer actually cuts): consecutive start
-    positions belong to one island (gaps-and-islands:
-    ``pos - row_number()`` is constant within a run), and the island
-    covers tokens [min(pos), max(pos) + k).
+    """Merge duplicated window STARTS into maximal NON-OVERLAPPING
+    token spans per doc (the intervals a trainer actually cuts): two
+    k-windows starting at p and q (p < q) overlap or touch whenever
+    q - p <= k, so an island breaks only when the gap between
+    consecutive starts EXCEEDS k — not merely when starts stop being
+    consecutive (start-adjacency islands produced OVERLAPPING spans
+    for gaps in (1, k], which double-counted coverage in
+    ``passage_dup_stats`` and broke the 'maximal' contract). The
+    island covers tokens [min(pos), max(pos) + k).
 
     Returns (doc_id, span_start, span_end, n_windows); span_end is
-    EXCLUSIVE. Overlapping windows k apart merge transitively — two
-    starts ``p`` and ``p+1`` cover [p, p+1+k) as one span.
+    EXCLUSIVE, spans are disjoint with > k - 1 uncovered tokens
+    between them, and n_windows counts the merged starts.
 
     Scale: one window over (doc_id)-partitioned span starts — the
     DUPLICATED subset, not the corpus — then a groupBy on the island
     key; both shuffle feature-scale rows."""
     w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
     islands = spans.select(
         "doc_id", "pos",
-        (F.col("pos") - F.row_number().over(w)).alias("_isl"))
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"))
     return (islands.groupBy("doc_id", "_isl")
             .agg(F.min("pos").alias("span_start"),
                  (F.max("pos") + k).alias("span_end"),
@@ -613,6 +620,17 @@ def passage_removal_spans(docs: DataFrame, k: int = 16,
     Returns (doc_id, span_start, span_end, n_windows), span_end
     exclusive — feed to ``excise_passages``.
 
+    Keep-one is per-content BEST-EFFORT, not a survival guarantee:
+    a content's canonical occurrence can still fall inside ANOTHER
+    content's cut span (k=2 example: docs [x,y] / [x,y,z] / [y,z,q] —
+    (y,z)'s canonical home in the middle doc is itself cut as a
+    non-canonical (x,y) occurrence, so (y,z) survives nowhere). What
+    IS guaranteed: a token is only ever cut when its window content
+    verifiably appears elsewhere in the corpus, and the cut set is a
+    deterministic function of the corpus. Resolving the interaction
+    exactly requires the suffix-array maximal-match machinery of the
+    original paper, out of scope for the fixed-k variant.
+
     Scale: the canonical pick is one window over the DUPLICATED
     occurrence subset partitioned by pkey (occurrence-scale, not
     corpus-scale; WindowGroupLimit-sized groups — n_occur per
@@ -629,19 +647,22 @@ def passage_removal_spans(docs: DataFrame, k: int = 16,
 
 def excise_passages(docs: DataFrame,
                     spans: DataFrame) -> DataFrame:
-    """Cut (exclusive-end) token spans out of each doc: returns
-    (doc_id, tokens, n_tok, n_removed) where ``tokens`` is the
-    in-order concatenation of the complement slices. Docs with no
-    spans pass through (n_removed = 0). Compose with
-    ``passage_removal_spans`` for Lee et al.'s remove-all-but-one
-    substring dedup; note the paper's own caveat applies — cutting
-    can create NEW adjacencies, so one pass is not a fixed point.
+    """Cut (exclusive-end) token spans out of each doc: returns the
+    doc row with ``tokens`` rewritten as the in-order concatenation of
+    the complement slices, ``n_tok`` updated, ``n_removed`` appended,
+    and EVERY OTHER doc column (source etc.) carried through — the
+    output keeps the canonical docs shape so it feeds the downstream
+    stages (mixing stratifies on source, packing reads n_tok) without
+    a manual re-join. Docs with no spans pass through (n_removed = 0).
+    Compose with ``passage_removal_spans`` for Lee et al.'s
+    remove-all-but-one substring dedup; note the paper's own caveat
+    applies — cutting can create NEW adjacencies, so one pass is not
+    a fixed point.
 
     Scale: spans collapse to one tiny per-doc list (span-scale
     groupBy); the token payload moves ONCE through the left join +
-    Arrow pass — no per-row Python, no payload self-shuffle."""
-    from typing import Iterator as _Iter
-
+    Arrow pass; the pass-through columns rejoin on doc_id (one
+    id-keyed shuffle of the token-free remainder)."""
     span_lists = (spans.groupBy("doc_id")
                   .agg(F.sort_array(F.collect_list(F.struct(
                       F.col("span_start").alias("s"),
@@ -649,7 +670,7 @@ def excise_passages(docs: DataFrame,
     src = (docs.select("doc_id", "tokens")
            .join(span_lists, "doc_id", "left"))
 
-    def cut(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, toks, sp in zip(pdf["doc_id"], pdf["tokens"],
@@ -668,8 +689,13 @@ def excise_passages(docs: DataFrame,
                 yield pd.DataFrame(out, columns=[
                     "doc_id", "tokens", "n_tok", "n_removed"])
 
-    return src.mapInPandas(
+    out = src.mapInPandas(
         cut, "doc_id string, tokens array<int>, n_tok int, n_removed int")
+    passthru = [c for c in docs.columns
+                if c not in ("doc_id", "tokens", "n_tok")]
+    if passthru:
+        out = out.join(docs.select("doc_id", *passthru), "doc_id")
+    return out
 
 
 # ---------------------------------------------------------------------------

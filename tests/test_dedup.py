@@ -483,6 +483,18 @@ def test_merge_passage_spans_and_dup_stats(spark):
            for r in merge_passage_spans(spans, k).collect()}
     assert got == {("A", 0, 6, 3), ("A", 10, 14, 1), ("B", 5, 9, 1)}
 
+    # non-consecutive starts whose windows still overlap must merge:
+    # {0, 2} at k=4 cover [0,4) u [2,6) = one span [0,6) — start-
+    # adjacency islands would emit the two OVERLAPPING spans and
+    # double-count coverage; gap 6 > k keeps {8+} separate (touching
+    # is gap == k: {0, 4} -> one span [0, 8))
+    ov = spark.createDataFrame(
+        [("C", 0), ("C", 2), ("C", 10), ("D", 0), ("D", 4)],
+        "doc_id string, pos int")
+    got2 = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in merge_passage_spans(ov, k).collect()}
+    assert got2 == {("C", 0, 6, 2), ("C", 10, 14, 1), ("D", 0, 8, 2)}
+
     # end-to-end coverage on a planted corpus: docs x/y share a
     # 6-token run -> 3 window starts at k=4 -> merged span of 6 tokens
     shared = [50, 51, 52, 53, 54, 55]
@@ -525,11 +537,15 @@ def test_passage_excision(spark):
     ]
     for r in rows:
         r["n_tok"] = len(r["tokens"])
+        r["source"] = f"src_{r['doc_id']}"
     docs = spark.createDataFrame(pd.DataFrame(rows))
 
     spans = dedup.passage_removal_spans(docs, k=k, key="hash")
     out = {r["doc_id"]: r for r in
            dedup.excise_passages(docs, spans).collect()}
+    # pass-through columns survive (the canonical docs shape feeds the
+    # downstream source-stratified stages)
+    assert all(out[r["doc_id"]]["source"] == r["source"] for r in rows)
 
     # numpy oracle: same algorithm — window table, dup contents,
     # keep-one by (doc_id, pos), merge, cut
