@@ -698,6 +698,43 @@ def excise_passages(docs: DataFrame,
     return out
 
 
+def excise_to_fixpoint(docs: DataFrame, k: int = 16, key: str = "hash",
+                       min_docs: int = 2, max_rounds: int = 8,
+                       stats: dict | None = None) -> DataFrame:
+    """Iterate ``passage_removal_spans`` + ``excise_passages`` until
+    NO duplicated k-window remains (cutting creates new adjacencies
+    across the seams, so one pass is not a fixed point — the caveat on
+    ``excise_passages``). Terminates because every round with spans
+    strictly removes tokens; each round eager-localCheckpoints the cut
+    corpus (truncates the compounding join lineage, same device as the
+    CC loops) and the emptiness probe is a LIMIT-1 count, not a full
+    aggregate.
+
+    Raises RuntimeError when ``max_rounds`` is exhausted with spans
+    still present — a partially-deduped corpus returned silently would
+    be the same corruption mode the CC loops guard against. ``stats``
+    (optional dict) receives {"rounds": n, "tokens_removed": m}."""
+    cur = docs
+    removed_total = 0
+    for r in range(max_rounds + 1):
+        spans = passage_removal_spans(cur, k, key, min_docs)
+        if spans.limit(1).count() == 0:
+            if stats is not None:
+                stats["rounds"] = r
+                stats["tokens_removed"] = removed_total
+            return cur
+        if r == max_rounds:
+            break
+        cut = excise_passages(cur, spans)
+        cut = cut.localCheckpoint(eager=True)
+        removed_total += cut.agg(F.sum("n_removed")).first()[0] or 0
+        cur = cut.drop("n_removed")
+    raise RuntimeError(
+        f"excise_to_fixpoint: duplicated {k}-windows still present "
+        f"after {max_rounds} rounds ({removed_total} tokens removed) "
+        f"— raise max_rounds or k")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------

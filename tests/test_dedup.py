@@ -631,3 +631,33 @@ def test_passage_excision_property(spark):
             assert g["n_removed"] == r["n_tok"] - len(want)
 
     prop()
+
+
+def test_excise_to_fixpoint_two_rounds(spark):
+    """An engineered seam: cutting (5,6) out of doc A creates a NEW
+    (1,2) adjacency duplicating doc B's — the fixpoint loop needs a
+    second round and ends with zero duplicated windows."""
+    rows = [
+        {"doc_id": "0", "tokens": [5, 6], "source": "s"},
+        {"doc_id": "A", "tokens": [1, 5, 6, 2], "source": "s"},
+        {"doc_id": "B", "tokens": [1, 2, 7], "source": "s"},
+    ]
+    for r in rows:
+        r["n_tok"] = len(r["tokens"])
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "doc_id string, tokens array<int>, source string, n_tok int")
+    st = {}
+    out = dedup.excise_to_fixpoint(docs, k=2, key="hash", stats=st)
+    got = {r["doc_id"]: list(r["tokens"]) for r in out.collect()}
+    # round 1: canonical (5,6) lives in doc '0' -> A loses [1,3)
+    # round 2: A's new (1,2) is canonical ('A' < 'B') -> B loses [0,2)
+    assert got == {"0": [5, 6], "A": [1, 2], "B": [7]}
+    assert st["rounds"] == 2 and st["tokens_removed"] == 4
+    assert "source" in out.columns          # pass-through survives
+    # fixpoint verified: no removal spans remain
+    assert dedup.passage_removal_spans(out, k=2, key="hash").count() == 0
+    # budget exhaustion raises loudly
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        dedup.excise_to_fixpoint(docs, k=2, key="hash", max_rounds=1)
