@@ -36,6 +36,31 @@ _MINHASH_N, _MINHASH_SEED, _SHINGLE_K = 8, 7, 3
 _SIMHASH_BITS = 16
 
 
+def _round6(c, scale: int = 6):
+    """Round + negative-zero canonicalization for hash-compared gates.
+
+    DuckDB's ``round(x, 6)`` of a tiny negative value yields ``-0.0``
+    while Spark's ``F.round`` yields ``+0.0`` — numerically equal,
+    bit-different, so the driver's value-hash diverges (the r04
+    ``features_battery`` failure: 16 rows of skewness). IEEE addition
+    of ``+0.0`` maps ``-0.0`` to ``+0.0`` and is the identity on every
+    other double, so ``round(x, s) + 0.0`` on BOTH engine and oracle
+    sides canonicalizes the sign without changing any value. Use this
+    (and the matching ``round(x, s) + 0.0`` in the oracle SQL) for any
+    rounded float column that can legally be a tiny negative.
+
+    Exposure audit of the other rounded gates (r05): ``hmm_estep`` —
+    posteriors/λ/Γ/δ are all in [0, ∞) and ``ll`` is ≤ -O(1), so no
+    column can round to -0.0; ``cosine_neardup``/``ann_*`` — every
+    branch filters ``sim >= thr`` with thr ≥ 0.1 plus an epsilon guard,
+    so rounded sims are bounded away from zero; ``hmm`` — λ/δ/nll/aic/
+    bic ≥ 0 and Γ ∈ [0, 1]. Only the battery's signed moment columns
+    (skewness, flux gradients) straddle zero.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col, scale) + F.lit(0.0)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_from_documents(spark, sf_dir)
 
@@ -860,7 +885,7 @@ def _q_features_battery(spark, sf_dir):
     from apollon_spark.spectral import FeatureConfig, extract_features
     cfg = FeatureConfig(framing=FramingParams(32, 16))
     feats = extract_features(_docs(spark, sf_dir), cfg)
-    rounded = [F.round(c, 6).alias(c)
+    rounded = [_round6(c).alias(c)
                for c in ["energy", "rms", "spl", "centroid", "spread",
                          "skewness", "kurtosis", "flux", "fspl",
                          "loudness", "sharpness"]]
@@ -1635,19 +1660,19 @@ sharp AS (
 SELECT t.doc_id, t.s AS seg_idx,
        CAST({hop} * t.s AS BIGINT) AS center,
        CAST({hop} * t.s AS BIGINT) / {fps}.0 AS ts,
-       round(t.energy, 6) AS energy,
-       round(sqrt(t.energy / {n}), 6) AS rms,
+       round(t.energy, 6) + 0.0 AS energy,
+       round(sqrt(t.energy / {n}), 6) + 0.0 AS rms,
        round(CASE WHEN t.energy > 0
                   THEN 20 * log10(sqrt(t.energy / {n}) / {splref})
-                  ELSE 0.0 END, 6) AS spl,
-       round(mo.centroid, 6) AS centroid,
-       round(mo.spread, 6) AS spread,
-       round(mo.skewness, 6) AS skewness,
-       round(mo.kurtosis, 6) AS kurtosis,
-       round(fl.flux, 6) AS flux,
-       round(10.0 * log10(greatest(1.0, mt.pw)), 6) AS fspl,
-       round(sh.loudness, 6) AS loudness,
-       round(sh.sharpness, 6) AS sharpness
+                  ELSE 0.0 END, 6) + 0.0 AS spl,
+       round(mo.centroid, 6) + 0.0 AS centroid,
+       round(mo.spread, 6) + 0.0 AS spread,
+       round(mo.skewness, 6) + 0.0 AS skewness,
+       round(mo.kurtosis, 6) + 0.0 AS kurtosis,
+       round(fl.flux, 6) + 0.0 AS flux,
+       round(10.0 * log10(greatest(1.0, mt.pw)), 6) + 0.0 AS fspl,
+       round(sh.loudness, 6) + 0.0 AS loudness,
+       round(sh.sharpness, 6) + 0.0 AS sharpness
 FROM tdom t
 JOIN moments mo ON mo.doc_id = t.doc_id AND mo.s = t.s
 JOIN flux fl ON fl.doc_id = t.doc_id AND fl.s = t.s

@@ -101,6 +101,22 @@ def test_literal_oracle_values_are_bit_exact(spark, sf_dir, ddb):
     wset = sorted(map(tuple, want[sorted(want.columns)].itertuples(index=False)))
     assert gset == wset
 
+    # features_battery must be BIT-exact too (r04 failure mode: the
+    # comparator's allclose treats -0.0 == +0.0 but the driver's
+    # value-hash does not — DuckDB round() emits -0.0 for tiny negative
+    # skewness, Spark +0.0; _round6's `+ 0.0` canonicalizes both sides).
+    got = _canon(entrymod.queries()["features_battery"](spark, sf_dir)
+                 .toPandas())
+    want = _canon(ddb.execute(
+        entrymod.oracle_sql()["features_battery"]).fetchdf())
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype.kind == "f":
+            gb = g.astype("float64").view("uint64")
+            wb = w.astype("float64").view("uint64")
+            n_diff = int((gb != wb).sum())
+            assert n_diff == 0, f"features_battery:{c} {n_diff} bit diffs"
+
     from apollon_spark.ml.simsearch import hyperplanes
     for planes in (hyperplanes(64, 4, 11),
                    np.random.default_rng(11).standard_normal((48, 64))):
