@@ -631,16 +631,28 @@ def passage_removal_spans(docs: DataFrame, k: int = 16,
     exactly requires the suffix-array maximal-match machinery of the
     original paper, out of scope for the fixed-k variant.
 
-    Scale: the canonical pick is one window over the DUPLICATED
-    occurrence subset partitioned by pkey (occurrence-scale, not
-    corpus-scale; WindowGroupLimit-sized groups — n_occur per
-    content); everything upstream is the duplicate_passage_spans
+    Scale: the canonical pick is a map-side-combinable
+    ``groupBy(pkey).agg(min(struct(doc_id, pos)))`` — struct ordering
+    is lexicographic by field, so min-by-struct IS "globally first by
+    (doc_id, pos)" — followed by the same co-partitioned pkey
+    equi-join the span machinery already uses, filtered to
+    occurrences != canonical. The r04 form (`row_number() over
+    Window.partitionBy(pkey)` filtered to rank > 1) was a named
+    scale-killer: one boilerplate k-gram with billions of occurrences
+    is a full sort of a single hot partition in one task, and Spark's
+    WindowGroupLimit pushdown only bounds `rank <= k` limits, never
+    `rank > 1` complements. The aggregate form partial-aggregates the
+    hot key on every map task, and the residual hot-key JOIN (1
+    canon row vs n_occur rows) is skew-splittable by AQE — windows
+    are not. Everything upstream is the duplicate_passage_spans
     machinery."""
     p = _doc_passages(docs, k, key)
     occ = p.join(_dup_table(p, min_docs).select("pkey"), "pkey")
-    w = Window.partitionBy("pkey").orderBy("doc_id", "pos")
-    noncanon = (occ.withColumn("_rk", F.row_number().over(w))
-                .where(F.col("_rk") > 1)
+    canon = (occ.groupBy("pkey")
+             .agg(F.min(F.struct("doc_id", "pos")).alias("_c")))
+    noncanon = (occ.join(canon, "pkey")
+                .where((F.col("doc_id") != F.col("_c.doc_id"))
+                       | (F.col("pos") != F.col("_c.pos")))
                 .select("doc_id", "pos"))
     return merge_passage_spans(noncanon, k)
 

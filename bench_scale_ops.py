@@ -97,6 +97,52 @@ def main() -> None:
         "n_span_starts": n_spans,
         "windows_per_sec": round(total_tokens / t_pass, 0),
     }
+    # --- keep-one removal spans under an engineered hot key ----------
+    # VERDICT r04 #2 regime: ONE boilerplate k-gram stamped into half
+    # the corpus, so a single pkey owns ~n_docs/2 occurrences. The
+    # canonical pick must stay an aggregate (map-side combined), not a
+    # per-pkey sorted window — this entry times exactly that path.
+    t0 = time.time()
+    boiler = F.sequence(F.lit(900001), F.lit(900032))
+    hot = docs.withColumn(
+        "tokens",
+        F.when(F.crc32(F.col("doc_id").cast("string")) % 2 == 0,
+               F.concat(boiler, F.col("tokens")))
+        .otherwise(F.col("tokens"))).withColumn(
+            "n_tok", F.size("tokens"))
+    rem = dd.passage_removal_spans(hot, k=32, key="hash")
+    n_rem = rem.count()
+    t_hot = time.time() - t0
+    out["removal_spans_hot_key"] = {
+        "sec": round(t_hot, 2),
+        "k": 32,
+        "hot_occurrences": int(total_docs // 2),
+        "n_removal_spans": n_rem,
+        "windows_per_sec": round(total_tokens / t_hot, 0),
+    }
+
+    # --- excision to fixpoint (Lee et al. keep-one, iterated) --------
+    # VERDICT r04 #8: the fold had tests + a value-oracled span face
+    # but no timed entry. Runs on the HOT corpus (the stamped
+    # boilerplate guarantees duplication — the synth corpus has no
+    # organic k=32 dups, which would make the fold a no-op probe);
+    # seam cascades are engineered in tests, here the stamp drives at
+    # least one real cut round + the convergence re-probe.
+    t0 = time.time()
+    st_fx: dict = {}
+    deduped = dd.excise_to_fixpoint(hot, k=32, key="hash",
+                                    max_rounds=8, stats=st_fx)
+    n_fx_docs = deduped.count()
+    t_fx = time.time() - t0
+    out["excise_to_fixpoint"] = {
+        "sec": round(t_fx, 2),
+        "k": 32,
+        "rounds": st_fx.get("rounds"),
+        "tokens_removed": st_fx.get("tokens_removed"),
+        "n_docs_out": n_fx_docs,
+        "tokens_per_sec": round(total_tokens / t_fx, 0),
+    }
+
     # --- bigram-LM quality scoring (CCNet-style) ---------------------
     # reference = a deterministic 1/16 split of the same corpus; the
     # model is broadcast, so the corpus side is scan + map-side joins

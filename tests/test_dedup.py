@@ -661,3 +661,31 @@ def test_excise_to_fixpoint_two_rounds(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="max_rounds"):
         dedup.excise_to_fixpoint(docs, k=2, key="hash", max_rounds=1)
+
+
+def test_passage_canonical_pick_hot_key(spark):
+    """Hot-key fixture (VERDICT r04 #2): one k-gram content shared by
+    every one of 2000 docs — the regime where the old per-pkey sorted
+    window became a single-task straggler. Keep-one semantics must
+    hold exactly: the globally-first occurrence by (doc_id, pos)
+    survives, every other occurrence is cut."""
+    k = 4
+    shared = [7, 7, 8, 9]
+    n = 2000
+    rows = [{"doc_id": f"d{i:05d}",
+             "tokens": [100 + i, 200 + i] + shared + [300 + i],
+             "n_tok": 7} for i in range(n)]
+    docs = spark.createDataFrame(pd.DataFrame(rows)).repartition(16)
+
+    spans = dedup.passage_removal_spans(docs, k=k, key="hash")
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in spans.collect()}
+    # canonical home is d00000 pos 2 (globally first by doc_id, pos);
+    # every other doc cuts exactly [2, 6)
+    assert got == {(f"d{i:05d}", 2, 6) for i in range(1, n)}
+
+    out = {r["doc_id"]: list(r["tokens"]) for r in
+           dedup.excise_passages(docs, spans).collect()}
+    assert out["d00000"] == [100, 200] + shared + [300]
+    assert all(out[f"d{i:05d}"] == [100 + i, 200 + i, 300 + i]
+               for i in range(1, n))

@@ -207,3 +207,24 @@ def test_semdedup_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_passage_canonical_pick_is_aggregate_not_window(spark):
+    """The keep-one canonical pick must be min-by-struct aggregation,
+    never a per-pkey sorted window: one boilerplate k-gram with
+    billions of occurrences would make `row_number() over
+    partitionBy(pkey)` a full single-task sort (WindowGroupLimit only
+    pushes `rank <= k`, not `rank > 1` complements), while the
+    aggregate partial-combines the hot key map-side and leaves only a
+    skew-splittable equi-join (VERDICT r04 #2). The only window in the
+    plan is the per-doc island merge."""
+    from apollon_spark.ml.dedup import passage_removal_spans
+    from apollon_spark.tokenize import docs_from_documents
+    docs = docs_from_documents(spark, "/root/testdata/sf0.001")
+    plan = _plan(passage_removal_spans(docs, k=8, key="hash"))
+    assert "row_number" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "pkey" not in line, line
+    # the min(struct(doc_id, pos)) canonical aggregate is present
+    assert "min(struct" in plan.replace("_minstruct", ""), plan
