@@ -911,27 +911,34 @@ def _q_features_split(spark, sf_dir):
 
 
 def _q_hmm(spark, sf_dir):
-    # long-form scalar output (driver canonicalizer sorts all columns,
-    # so no array cells): one row per (doc, state_i, state_j) carrying
-    # lambda_i, delta_i, gamma_ij and the per-doc fit stats
-    from apollon_spark.hmm import fit_hmm_docs
-    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 20)
-    fits = fit_hmm_docs(docs, m_states=2, max_iter=100)
-    return (
-        fits.select(
-            "doc_id", "m_states", "nll", "aic", "bic", "n_iter", "success",
-            "lambda", "delta",
-            F.posexplode_outer("gamma").alias("state_i", "gamma_row"))
-        .select(
-            "doc_id", "m_states", "state_i",
-            F.round(F.element_at("lambda", F.col("state_i") + 1), 6)
-            .alias("lambda_i"),
-            F.round(F.element_at("delta", F.col("state_i") + 1), 6)
-            .alias("delta_i"),
-            F.round("nll", 6).alias("nll"), F.round("aic", 6).alias("aic"),
-            F.round("bic", 6).alias("bic"), "n_iter", "success",
-            F.posexplode_outer("gamma_row").alias("state_j", "gamma_ij"))
-        .withColumn("gamma_ij", F.round("gamma_ij", 6)))
+    """EM TRAINING value-oracled by the 2-iteration fixed-seed unroll
+    (VERDICT r04 #3, closing the r04 rows-only gate): two CHAINED full
+    EM iterations per doc — iteration 2's (λ,Γ,δ) is iteration 1's
+    M-step output through the binary fixed-point ``_quant16`` handoff
+    — with per-iteration parameters, log-likelihoods and the ll
+    improvement (the convergence test ``poisson_em`` applies each
+    round; ``converged`` uses the reference's tol=1e-5 on the rounded
+    dll so the flag is grid-deterministic cross-engine). The DuckDB
+    oracle replays iteration 1 exactly as hmm_estep does (literal
+    emission tables + recursive CTEs), then builds iteration 2's
+    per-doc emission tables by the division recursion
+    e(x)=e(x-1)·(λ/x) and runs the second forward-backward as
+    recursive CTEs on them. The full data-dependent-convergence fit
+    (`fit_hmm_docs`, reference hmm/poisson.py:78-118) runs on the
+    SAME _estep/_em_update kernels (pytest: em_update_m2 ==
+    poisson_em(max_iter=1) pre-sort state; regime-switching fixture)
+    and stays driveable via `--stage hmm`; dll can round to ±0.0, so
+    it goes through _round6."""
+    from apollon_spark.hmm import EM2_ITER_COLS, em_two_iter_docs
+    docs = _docs(spark, sf_dir)
+    out = em_two_iter_docs(docs, _ESTEP_LAM, _ESTEP_GAMMA, _ESTEP_DELTA)
+    iter_cols = [f"{c}_{t}" for t in ("1", "2") for c in EM2_ITER_COLS]
+    dll = _round6("dll")
+    return out.select(
+        "doc_id", "n_tok",
+        *[_round6(c).alias(c) for c in iter_cols],
+        dll.alias("dll"),
+        (F.abs(dll) < F.lit(1e-5)).cast("int").alias("converged"))
 
 
 def _q_onsets(spark, sf_dir):
@@ -1855,23 +1862,17 @@ WHERE c.cond12 = 1 AND s.cond3 = 1
 """
 
 
-def _hmm_estep_sql() -> str:
-    """hmm_estep oracle: ONE FULL EM iteration on fixed (λ,Γ,δ)
-    replayed in SQL. The 256-row emission table (row-max-normalized
-    Poisson likelihoods; the log-factorial cancels) AND the row-max
-    log-pmf table bmax(x) (for the true log-likelihood) are embedded
-    via ``_exact_double`` mantissa·2^exp literals — the SAME float64s
-    the Spark workers look up, so no cross-engine exp/log in the
-    E-step. Forward (t ascending) and backward (t descending)
-    recursions are recursive CTEs in the exact IEEE operation order of
-    ``estep_posteriors_m2``; the M-step (em_update_m2 / poisson_em's
-    update formulas) is pure aggregation on top: ξ transition sums
-    join (t, t+1), λ' is the posterior-weighted token mean with the
-    1e-300 guard, δ' reads the t=0 posteriors, and
-    ll = Σ ln(c) + Σ bmax(x). Everything rounds to 6 decimals on both
-    sides (the only runtime cross-engine math is +,*,/ and ln).
+def _hmm_iter1_ctes() -> str:
+    """The SHARED iteration-1 EM CTE block (docs -> window table ->
+    literal emission join -> fwd/bwd recursions -> posteriors -> ξ
+    sums -> per-doc M-step update), used by BOTH _hmm_estep_sql (the
+    per-(doc,t) E-step gate) and _hmm_em2_sql (the 2-iteration
+    training unroll). Emission tables are mantissa·2^exp literals of
+    the SAME float64s the Spark workers look up, fwd/bwd replay
+    ``estep_posteriors_m2``'s exact IEEE operation order, and ``upd1``
+    carries the full unrounded iteration-1 update (λ',Γ',δ',ll).
 
-    MATERIALIZED matters here: DuckDB inlines CTEs by default, so a
+    MATERIALIZED matters: DuckDB inlines CTEs by default, so a
     recursive CTE referenced inside ANOTHER recursion (bwd joins fwd
     every iteration) is recomputed from scratch each iteration —
     quadratic in max doc length and ~340x slower at sf0.01 (180s vs
@@ -1888,8 +1889,7 @@ def _hmm_estep_sql() -> str:
     (g00, g01), (g10, g11) = (
         (_exact_double(v) for v in row) for row in _ESTEP_GAMMA)
     d0, d1 = (_exact_double(v) for v in _ESTEP_DELTA)
-    return f"""
-WITH RECURSIVE {DUCKDB_DOCS_CTE.strip()},
+    return f"""{DUCKDB_DOCS_CTE.strip()},
 xs AS (
   SELECT doc_id, CAST(generate_subscripts(tokens,1)-1 AS INT) AS t,
          unnest(tokens) AS x, n_tok
@@ -1958,7 +1958,26 @@ upd AS (
          sum(ln(p.c)) + sum(x.bm) AS ll
   FROM posts p JOIN xb x ON x.doc_id = p.doc_id AND x.t = p.t
   GROUP BY p.doc_id
-)
+),
+upd1 AS MATERIALIZED (
+  SELECT u.doc_id, u.lam0_next, u.lam1_next,
+         ({g00}*t2.s00) / (({g00}*t2.s00) + ({g01}*t2.s01)) AS g00_next,
+         ({g01}*t2.s01) / (({g00}*t2.s00) + ({g01}*t2.s01)) AS g01_next,
+         ({g10}*t2.s10) / (({g10}*t2.s10) + ({g11}*t2.s11)) AS g10_next,
+         ({g11}*t2.s11) / (({g10}*t2.s10) + ({g11}*t2.s11)) AS g11_next,
+         u.delta0_next, u.delta1_next, u.ll
+  FROM upd u JOIN trans t2 ON t2.doc_id = u.doc_id
+)"""
+
+
+def _hmm_estep_sql() -> str:
+    """hmm_estep oracle: ONE FULL EM iteration on fixed (λ,Γ,δ)
+    replayed in SQL — see ``_hmm_iter1_ctes`` for the device (literal
+    emission tables, exact-IEEE-order recursions, materialization
+    discipline). Everything rounds to 6 decimals on both sides (the
+    only runtime cross-engine math is +,*,/ and ln)."""
+    return f"""
+WITH RECURSIVE {_hmm_iter1_ctes()}
 SELECT p.doc_id, p.t,
        round(p.a0, 6) AS alpha0,
        round(p.c, 6) AS cscale,
@@ -1966,21 +1985,175 @@ SELECT p.doc_id, p.t,
        round(p.post1, 6) AS post1,
        round(u.lam0_next, 6) AS lam0_next,
        round(u.lam1_next, 6) AS lam1_next,
-       round(({g00}*t2.s00) / (({g00}*t2.s00) + ({g01}*t2.s01)), 6)
-         AS g00_next,
-       round(({g01}*t2.s01) / (({g00}*t2.s00) + ({g01}*t2.s01)), 6)
-         AS g01_next,
-       round(({g10}*t2.s10) / (({g10}*t2.s10) + ({g11}*t2.s11)), 6)
-         AS g10_next,
-       round(({g11}*t2.s11) / (({g10}*t2.s10) + ({g11}*t2.s11)), 6)
-         AS g11_next,
+       round(u.g00_next, 6) AS g00_next,
+       round(u.g01_next, 6) AS g01_next,
+       round(u.g10_next, 6) AS g10_next,
+       round(u.g11_next, 6) AS g11_next,
        round(u.delta0_next, 6) AS delta0_next,
        round(u.delta1_next, 6) AS delta1_next,
        round(u.ll, 6) AS ll
 FROM posts p
-JOIN upd u ON u.doc_id = p.doc_id
-JOIN trans t2 ON t2.doc_id = p.doc_id
+JOIN upd1 u ON u.doc_id = p.doc_id
 """
+
+
+def _hmm_em2_sql() -> str:
+    """hmm oracle: TWO chained EM iterations (the training unroll,
+    VERDICT r04 #3). Iteration 1 is the shared ``_hmm_iter1_ctes``
+    block; the handoff quantizes (λ',Γ',δ') onto the 2^-16 binary
+    grid with EXACT IEEE ops (floor + power-of-two scaling — unlike
+    decimal round, identical across engines), so iteration 2 starts
+    from bit-identical parameters. Iteration 2's per-doc emission
+    tables are built by the division recursion e(x)=e(x-1)·(λ/x)
+    (so e(x)=λ^x/x! with no pow/lgamma; w=e·e^{-λ} is the true pmf,
+    b=w/rowmax matches estep_b_table's normalized form and
+    bm=ln(rowmax) the bmax table) — exactly the operation order of
+    ``_ratio_emission_tables`` on the Spark side. The second
+    forward-backward + M-step replays the same recursive-CTE shapes
+    with per-doc Γ/δ carried through the recursion rows. Runtime
+    cross-engine math stays {{+,*,/,ln}} plus one exp per (doc,
+    state) of a bit-identical quantized argument."""
+    return f"""
+WITH RECURSIVE {_hmm_iter1_ctes()},
+qe AS MATERIALIZED (
+  SELECT u.doc_id, m.xm, m.n_tok, u.ll AS ll1,
+         u.lam0_next AS lam0_1, u.lam1_next AS lam1_1,
+         u.g00_next AS g00_1, u.g01_next AS g01_1,
+         u.g10_next AS g10_1, u.g11_next AS g11_1,
+         u.delta0_next AS delta0_1, u.delta1_next AS delta1_1,
+         greatest(floor(u.lam0_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS l0,
+         greatest(floor(u.lam1_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS l1,
+         greatest(floor(u.g00_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS g00q,
+         greatest(floor(u.g01_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS g01q,
+         greatest(floor(u.g10_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS g10q,
+         greatest(floor(u.g11_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS g11q,
+         greatest(floor(u.delta0_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS d0q,
+         greatest(floor(u.delta1_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS d1q,
+         exp(-greatest(floor(u.lam0_next*65536.0 + 0.5)/65536.0, 1.0/65536.0))
+           AS e0c,
+         exp(-greatest(floor(u.lam1_next*65536.0 + 0.5)/65536.0, 1.0/65536.0))
+           AS e1c
+  FROM upd1 u
+  JOIN (SELECT doc_id, max(x) AS xm, max(n_tok) AS n_tok
+        FROM xs GROUP BY doc_id) m ON m.doc_id = u.doc_id
+),
+ex AS (
+  SELECT doc_id, 0 AS x, 1.0::DOUBLE AS e0, 1.0::DOUBLE AS e1, l0, l1, xm
+  FROM qe
+  UNION ALL
+  SELECT doc_id, x + 1,
+         e0 * (l0 / CAST(x + 1 AS DOUBLE)),
+         e1 * (l1 / CAST(x + 1 AS DOUBLE)),
+         l0, l1, xm
+  FROM ex WHERE x < xm
+),
+b2 AS MATERIALIZED (
+  SELECT e.doc_id, e.x,
+         (e.e0*q.e0c)/greatest(e.e0*q.e0c, e.e1*q.e1c) AS b0,
+         (e.e1*q.e1c)/greatest(e.e0*q.e0c, e.e1*q.e1c) AS b1,
+         ln(greatest(e.e0*q.e0c, e.e1*q.e1c)) AS bm
+  FROM ex e JOIN qe q ON q.doc_id = e.doc_id
+),
+xb2 AS MATERIALIZED (
+  SELECT xs.doc_id, xs.t, xs.n_tok, xs.x, b.b0, b.b1, b.bm
+  FROM xs JOIN b2 b ON b.doc_id = xs.doc_id AND b.x = xs.x),
+fwd2 AS (
+  SELECT x.doc_id, x.t,
+         (q.d0q*x.b0)+(q.d1q*x.b1) AS c,
+         (q.d0q*x.b0)/((q.d0q*x.b0)+(q.d1q*x.b1)) AS a0,
+         (q.d1q*x.b1)/((q.d0q*x.b0)+(q.d1q*x.b1)) AS a1,
+         q.g00q AS g00, q.g01q AS g01, q.g10q AS g10, q.g11q AS g11
+  FROM xb2 x JOIN qe q ON q.doc_id = x.doc_id WHERE x.t = 0
+  UNION ALL
+  SELECT x.doc_id, x.t,
+         ((f.a0*f.g00 + f.a1*f.g10)*x.b0)
+           + ((f.a0*f.g01 + f.a1*f.g11)*x.b1) AS c,
+         ((f.a0*f.g00 + f.a1*f.g10)*x.b0)
+           / (((f.a0*f.g00 + f.a1*f.g10)*x.b0)
+              + ((f.a0*f.g01 + f.a1*f.g11)*x.b1)) AS a0,
+         ((f.a0*f.g01 + f.a1*f.g11)*x.b1)
+           / (((f.a0*f.g00 + f.a1*f.g10)*x.b0)
+              + ((f.a0*f.g01 + f.a1*f.g11)*x.b1)) AS a1,
+         f.g00, f.g01, f.g10, f.g11
+  FROM fwd2 f JOIN xb2 x ON x.doc_id = f.doc_id AND x.t = f.t + 1
+),
+fwd2m AS MATERIALIZED (SELECT * FROM fwd2),
+bwd2 AS (
+  SELECT x.doc_id, x.t, 1.0::DOUBLE AS be0, 1.0::DOUBLE AS be1,
+         q.g00q AS g00, q.g01q AS g01, q.g10q AS g10, q.g11q AS g11
+  FROM xs x JOIN qe q ON q.doc_id = x.doc_id WHERE x.t = x.n_tok - 1
+  UNION ALL
+  SELECT bw.doc_id, bw.t - 1,
+         (bw.g00*(x.b0*bw.be0) + bw.g01*(x.b1*bw.be1)) / f.c AS be0,
+         (bw.g10*(x.b0*bw.be0) + bw.g11*(x.b1*bw.be1)) / f.c AS be1,
+         bw.g00, bw.g01, bw.g10, bw.g11
+  FROM bwd2 bw
+  JOIN xb2 x ON x.doc_id = bw.doc_id AND x.t = bw.t
+  JOIN fwd2m f ON f.doc_id = bw.doc_id AND f.t = bw.t
+  WHERE bw.t > 0
+),
+bwd2m AS MATERIALIZED (SELECT * FROM bwd2),
+posts2 AS MATERIALIZED (
+  SELECT f.doc_id, f.t, f.a0, f.a1, f.c, b.be0, b.be1,
+         (f.a0*b.be0)/((f.a0*b.be0)+(f.a1*b.be1)) AS post0,
+         (f.a1*b.be1)/((f.a0*b.be0)+(f.a1*b.be1)) AS post1
+  FROM fwd2m f JOIN bwd2m b ON b.doc_id = f.doc_id AND b.t = f.t
+),
+trans2 AS (
+  SELECT f.doc_id,
+         sum(f.a0 * (x2.b0 * p2.be0 / p2.c)) AS s00,
+         sum(f.a0 * (x2.b1 * p2.be1 / p2.c)) AS s01,
+         sum(f.a1 * (x2.b0 * p2.be0 / p2.c)) AS s10,
+         sum(f.a1 * (x2.b1 * p2.be1 / p2.c)) AS s11
+  FROM fwd2m f
+  JOIN xb2 x2 ON x2.doc_id = f.doc_id AND x2.t = f.t + 1
+  JOIN posts2 p2 ON p2.doc_id = f.doc_id AND p2.t = f.t + 1
+  GROUP BY f.doc_id
+),
+upd2 AS MATERIALIZED (
+  SELECT p.doc_id,
+         sum(p.post0 * x.x) / greatest(sum(p.post0), 1e-300) AS lam0_2,
+         sum(p.post1 * x.x) / greatest(sum(p.post1), 1e-300) AS lam1_2,
+         max(CASE WHEN p.t = 0 THEN p.post0 END) AS delta0_2,
+         max(CASE WHEN p.t = 0 THEN p.post1 END) AS delta1_2,
+         sum(ln(p.c)) + sum(x.bm) AS ll2
+  FROM posts2 p JOIN xb2 x ON x.doc_id = p.doc_id AND x.t = p.t
+  GROUP BY p.doc_id
+),
+u2g AS (
+  SELECT t.doc_id,
+         (q.g00q*t.s00) / ((q.g00q*t.s00) + (q.g01q*t.s01)) AS g00_2,
+         (q.g01q*t.s01) / ((q.g00q*t.s00) + (q.g01q*t.s01)) AS g01_2,
+         (q.g10q*t.s10) / ((q.g10q*t.s10) + (q.g11q*t.s11)) AS g10_2,
+         (q.g11q*t.s11) / ((q.g10q*t.s10) + (q.g11q*t.s11)) AS g11_2
+  FROM trans2 t JOIN qe q ON q.doc_id = t.doc_id
+)
+SELECT q.doc_id, CAST(q.n_tok AS INT) AS n_tok,
+       round(q.lam0_1, 6) AS lam0_1,
+       round(q.lam1_1, 6) AS lam1_1,
+       round(q.g00_1, 6) AS g00_1,
+       round(q.g01_1, 6) AS g01_1,
+       round(q.g10_1, 6) AS g10_1,
+       round(q.g11_1, 6) AS g11_1,
+       round(q.delta0_1, 6) AS delta0_1,
+       round(q.delta1_1, 6) AS delta1_1,
+       round(q.ll1, 6) AS ll_1,
+       round(u.lam0_2, 6) AS lam0_2,
+       round(u.lam1_2, 6) AS lam1_2,
+       round(g.g00_2, 6) AS g00_2,
+       round(g.g01_2, 6) AS g01_2,
+       round(g.g10_2, 6) AS g10_2,
+       round(g.g11_2, 6) AS g11_2,
+       round(u.delta0_2, 6) AS delta0_2,
+       round(u.delta1_2, 6) AS delta1_2,
+       round(u.ll2, 6) AS ll_2,
+       round(u.ll2 - q.ll1, 6) + 0.0 AS dll,
+       CAST(abs(round(u.ll2 - q.ll1, 6) + 0.0) < 1e-5 AS INT) AS converged
+FROM qe q
+JOIN upd2 u ON u.doc_id = q.doc_id
+JOIN u2g g ON g.doc_id = q.doc_id
+"""
+
 
 
 def _ivf_ann_sql(n_cents: int = 8, n_probe: int = 3, k: int = 5) -> str:
@@ -2604,6 +2777,7 @@ FROM ranked WHERE rn = 1
         "dup_clusters": _dup_clusters_sql(),
         "peak_scan": _peak_scan_sql(),
         "hmm_estep": _hmm_estep_sql(),
+        "hmm": _hmm_em2_sql(),
         "onsets": _onsets_sql(),
         "features_battery": _features_battery_sql(),
         "nonlinear": _nonlinear_sql(),

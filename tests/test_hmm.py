@@ -305,3 +305,66 @@ def test_estep_max_x_contract(spark):
     np.testing.assert_allclose(s.to_numpy(), 1.0, rtol=1e-12)
     out2 = hmm.em_step_docs(sdf, lam, gamma, delta, max_x=512).toPandas()
     assert len(out2) == 4 and np.isfinite(out2["ll"]).all()
+
+
+def test_em_two_iter_docs_chains_poisson_em(spark):
+    """em_two_iter_docs (the hmm gate's 2-iteration training unroll)
+    reproduces two manually-chained em_update_m2 iterations with the
+    quantized handoff: iteration 2's emission tables built the
+    STANDARD way (estep_b_table / estep_bmax_table) from the _quant16
+    parameters must agree with the gate's division-recursion tables to
+    float noise, and dll must be the ll improvement. Also checks the
+    quantized restart stays within one grid step of the unquantized
+    EM trajectory (poisson_em, 2 iterations, pre-sort comparison via
+    lambda ordering)."""
+    import pandas as pd
+    lam = (16.0, 128.0)
+    gamma = ((0.75, 0.25), (0.375, 0.625))
+    delta = (0.5, 0.5)
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6):
+        x = np.concatenate([rng.poisson(16.0, 15), rng.poisson(128.0, 20),
+                            rng.poisson(16.0, 10)])
+        rows.append({"doc_id": f"d{i}", "tokens": x.astype("int64").tolist()})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["doc_id"]: r for r in
+           hmm.em_two_iter_docs(sdf, lam, gamma, delta).collect()}
+    assert len(out) == 6
+
+    btab = hmm.estep_b_table(lam)
+    bmax_tab = hmm.estep_bmax_table(lam)
+    for r in rows:
+        x = np.asarray(r["tokens"], dtype="int64")
+        u1 = hmm.em_update_m2(x, btab, bmax_tab, gamma, delta)
+        got = out[r["doc_id"]]
+        for k in hmm.EM_STEP_COLS:
+            tag = k.replace("_next", "") if k != "ll" else "ll"
+            np.testing.assert_allclose(got[f"{tag}_1"], u1[k],
+                                       rtol=0, atol=1e-12, err_msg=k)
+        ql = [hmm._quant16(u1[k]) for k in
+              ("lam0_next", "lam1_next", "g00_next", "g01_next",
+               "g10_next", "g11_next", "delta0_next", "delta1_next")]
+        g2 = ((ql[2], ql[3]), (ql[4], ql[5]))
+        bt2 = hmm.estep_b_table((ql[0], ql[1]), max_x=int(x.max()))
+        bm2 = hmm.estep_bmax_table((ql[0], ql[1]), max_x=int(x.max()))
+        u2 = hmm.em_update_m2(x, bt2, bm2, g2, (ql[6], ql[7]))
+        for k in hmm.EM_STEP_COLS:
+            tag = k.replace("_next", "") if k != "ll" else "ll"
+            np.testing.assert_allclose(got[f"{tag}_2"], u2[k],
+                                       rtol=1e-9, atol=1e-9, err_msg=k)
+        np.testing.assert_allclose(got["dll"], u2["ll"] - u1["ll"],
+                                   rtol=0, atol=1e-6)
+        # EM monotonicity survives the quantized restart on this data
+        assert got["dll"] > 0
+
+    # em2 follows the unquantized poisson_em 2-iteration trajectory to
+    # quantization precision (lambda shifts bounded by grid-step
+    # propagation, loose band)
+    x = np.asarray(rows[0]["tokens"], dtype="int64")
+    ref = hmm.poisson_em(x, 2, np.array(lam), np.array(gamma),
+                         np.array(delta), max_iter=2, tol=0.0)
+    got = out["d0"]
+    np.testing.assert_allclose(
+        sorted([got["lam0_2"], got["lam1_2"]]), ref["lambda"],
+        rtol=1e-3)
