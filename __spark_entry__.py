@@ -1094,11 +1094,36 @@ def _q_ivf_ann(spark, sf_dir):
 
 
 def _q_similarity_position(spark, sf_dir):
-    from apollon_spark.similarity import fit_similarity_map
-    docs = _docs(spark, sf_dir).where(F.col("n_tok") >= 30).limit(64)
-    positions, _, _ = fit_similarity_map(
-        docs, m_states=2, som_rows=3, som_cols=3, n_iter=3, max_obs=None)
-    return positions
+    """The apollon end-game (HMM descriptors -> Γ-SOM -> BMU
+    positions), value-oracled since r05 (VERDICT r04 #4, closing the
+    LAST rows-only gate): the per-doc EM descriptor is the
+    2-iteration unrolled Γ₂ (the hmm gate's bit-oracled training
+    device) instead of the data-dependent-convergence fit, the SOM is
+    the 2-epoch hellinger batch fit on explicit init weights (the
+    som_train device — w0 = the 9 lexicographically-first docs'
+    descriptors, epoch kernels as exact literals), and the BMU
+    assignment is the bmu_fixed device under the hellinger_stm
+    metric. Every stage runs the REAL production kernels
+    (em_two_iter_docs, fit_batch_som, assign_bmu); the DuckDB oracle
+    chains the em2 CTEs into the SOM epoch recursion in SQL. The
+    free-convergence pipeline (fit_similarity_map) stays covered by
+    tests/test_similarity.py and the CLI som stage."""
+    from apollon_spark.hmm import em_two_iter_docs
+    from apollon_spark.som import SomParams, assign_bmu, fit_batch_som
+    em2 = em_two_iter_docs(_docs(spark, sf_dir),
+                           _ESTEP_LAM, _ESTEP_GAMMA, _ESTEP_DELTA)
+    desc = em2.select(
+        "doc_id",
+        F.array("g00_2", "g01_2", "g10_2", "g11_2").alias("gamma_flat"))
+    desc = desc.cache()
+    import numpy as np
+    w0 = np.array([r["gamma_flat"] for r in
+                   desc.orderBy("doc_id").limit(9).collect()], "float64")
+    p = SomParams(3, 3, n_iter=2, metric="hellinger")
+    weights, _ = fit_batch_som(desc, "gamma_flat", p, w0=w0)
+    out = assign_bmu(desc, "gamma_flat", weights, metric="hellinger")
+    return out.select("doc_id", "bmu",
+                      F.round("bmu_dist", 6).alias("bmu_dist"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2011,10 +2036,44 @@ def _hmm_em2_sql() -> str:
     ``_ratio_emission_tables`` on the Spark side. The second
     forward-backward + M-step replays the same recursive-CTE shapes
     with per-doc Γ/δ carried through the recursion rows. Runtime
-    cross-engine math stays {{+,*,/,ln}} plus one exp per (doc,
+    cross-engine math stays {+,*,/,ln} plus one exp per (doc,
     state) of a bit-identical quantized argument."""
     return f"""
-WITH RECURSIVE {_hmm_iter1_ctes()},
+WITH RECURSIVE {_hmm_em2_ctes()}
+SELECT q.doc_id, CAST(q.n_tok AS INT) AS n_tok,
+       round(q.lam0_1, 6) AS lam0_1,
+       round(q.lam1_1, 6) AS lam1_1,
+       round(q.g00_1, 6) AS g00_1,
+       round(q.g01_1, 6) AS g01_1,
+       round(q.g10_1, 6) AS g10_1,
+       round(q.g11_1, 6) AS g11_1,
+       round(q.delta0_1, 6) AS delta0_1,
+       round(q.delta1_1, 6) AS delta1_1,
+       round(q.ll1, 6) AS ll_1,
+       round(u.lam0_2, 6) AS lam0_2,
+       round(u.lam1_2, 6) AS lam1_2,
+       round(g.g00_2, 6) AS g00_2,
+       round(g.g01_2, 6) AS g01_2,
+       round(g.g10_2, 6) AS g10_2,
+       round(g.g11_2, 6) AS g11_2,
+       round(u.delta0_2, 6) AS delta0_2,
+       round(u.delta1_2, 6) AS delta1_2,
+       round(u.ll2, 6) AS ll_2,
+       round(u.ll2 - q.ll1, 6) + 0.0 AS dll,
+       CAST(abs(round(u.ll2 - q.ll1, 6) + 0.0) < 1e-5 AS INT) AS converged
+FROM qe q
+JOIN upd2 u ON u.doc_id = q.doc_id
+JOIN u2g g ON g.doc_id = q.doc_id
+"""
+
+
+def _hmm_em2_ctes() -> str:
+    """The FULL 2-iteration CTE chain (iteration-1 block + quantized
+    handoff + per-doc emission recursion + second forward-backward +
+    M-step), shared by ``_hmm_em2_sql`` and ``_similarity_sql`` —
+    ends with ``upd2``/``u2g`` carrying iteration-2 (λ,Γ,δ,ll) per
+    doc."""
+    return f"""{_hmm_iter1_ctes()},
 qe AS MATERIALIZED (
   SELECT u.doc_id, m.xm, m.n_tok, u.ll AS ll1,
          u.lam0_next AS lam0_1, u.lam1_next AS lam1_1,
@@ -2127,32 +2186,7 @@ u2g AS (
          (q.g10q*t.s10) / ((q.g10q*t.s10) + (q.g11q*t.s11)) AS g10_2,
          (q.g11q*t.s11) / ((q.g10q*t.s10) + (q.g11q*t.s11)) AS g11_2
   FROM trans2 t JOIN qe q ON q.doc_id = t.doc_id
-)
-SELECT q.doc_id, CAST(q.n_tok AS INT) AS n_tok,
-       round(q.lam0_1, 6) AS lam0_1,
-       round(q.lam1_1, 6) AS lam1_1,
-       round(q.g00_1, 6) AS g00_1,
-       round(q.g01_1, 6) AS g01_1,
-       round(q.g10_1, 6) AS g10_1,
-       round(q.g11_1, 6) AS g11_1,
-       round(q.delta0_1, 6) AS delta0_1,
-       round(q.delta1_1, 6) AS delta1_1,
-       round(q.ll1, 6) AS ll_1,
-       round(u.lam0_2, 6) AS lam0_2,
-       round(u.lam1_2, 6) AS lam1_2,
-       round(g.g00_2, 6) AS g00_2,
-       round(g.g01_2, 6) AS g01_2,
-       round(g.g10_2, 6) AS g10_2,
-       round(g.g11_2, 6) AS g11_2,
-       round(u.delta0_2, 6) AS delta0_2,
-       round(u.delta1_2, 6) AS delta1_2,
-       round(u.ll2, 6) AS ll_2,
-       round(u.ll2 - q.ll1, 6) + 0.0 AS dll,
-       CAST(abs(round(u.ll2 - q.ll1, 6) + 0.0) < 1e-5 AS INT) AS converged
-FROM qe q
-JOIN upd2 u ON u.doc_id = q.doc_id
-JOIN u2g g ON g.doc_id = q.doc_id
-"""
+)"""
 
 
 
@@ -2333,6 +2367,88 @@ d{e + 1} AS (
     return (f"WITH {', '.join(parts)}\n"
             f"SELECT unit, CAST(j - 1 AS INT) AS dim_idx, "
             f"round(w, 6) AS w FROM wl{n_iter}")
+
+
+def _similarity_sql(n_rows: int = 3, n_cols: int = 3,
+                    n_iter: int = 2) -> str:
+    """similarity_position oracle: the em2 CTE chain produces the
+    per-doc iteration-2 Γ descriptors, then the SOM epoch recursion
+    runs IN SQL under the hellinger_stm metric (mean over stochastic-
+    matrix rows of sqrt(0.5·Σ(√a−√w)²) — sqrt is IEEE
+    correctly-rounded, so it adds nothing to the cross-engine
+    surface): per epoch BMU = argmin (ties -> lowest unit), unit
+    update = neighborhood-kernel-weighted mean with den==0 keeping
+    the old weight (the som_train device, re-derived for the
+    4-dim Γ space), final pass = bmu_fixed's argmin + rounded
+    distance. Init weights = the 9 lexicographically-first docs'
+    descriptors, derived in SQL."""
+    from apollon_spark.som import (SomGrid, SomParams, _decay_radius,
+                                   gauss_kernel, grid_dists)
+    p = SomParams(n_rows, n_cols, n_iter=n_iter, metric="hellinger")
+    gd = grid_dists(SomGrid(n_rows, n_cols), "euclidean")
+    n_units = n_rows * n_cols
+
+    def h_cte(e: int) -> str:
+        h = gauss_kernel(gd, _decay_radius(p, e))
+        vals = ",".join(f"({b},{u},{_exact_double(h[b, u])})"
+                        for b in range(n_units) for u in range(n_units))
+        return (f"h{e}(bmu, unit, hv) AS "
+                f"(SELECT * FROM (VALUES {vals}) t(bmu, unit, hv))")
+
+    def hd(a: str, w: str) -> str:
+        def row(i: int, j: int) -> str:
+            return (f"sqrt(0.5*((sqrt({a}{i})-sqrt({w}{i}))"
+                    f"*(sqrt({a}{i})-sqrt({w}{i}))"
+                    f" + (sqrt({a}{j})-sqrt({w}{j}))"
+                    f"*(sqrt({a}{j})-sqrt({w}{j}))))")
+        return f"(({row(0, 1)} + {row(2, 3)}) / 2.0)"
+
+    parts = [h_cte(e) for e in range(n_iter)]
+    parts.append(
+        "descs AS MATERIALIZED (SELECT doc_id, g00_2 AS a0, g01_2 AS a1, "
+        "g10_2 AS a2, g11_2 AS a3 FROM u2g)")
+    parts.append(f"""
+w0t AS (
+  SELECT * FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS unit,
+                        a0 AS c0, a1 AS c1, a2 AS c2, a3 AS c3
+                 FROM descs) WHERE unit < {n_units})""")
+    for e in range(n_iter):
+        parts.append(f"""
+d{e} AS (SELECT d.doc_id, w.unit, {hd('d.a', 'w.c')} AS dist
+  FROM descs d, w{e}t w)""")
+        parts.append(f"""
+b{e} AS (SELECT doc_id, unit AS bmu FROM (
+  SELECT doc_id, unit,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dist, unit) AS rn
+  FROM d{e}) WHERE rn = 1)""")
+        parts.append(f"""
+u{e} AS (
+  SELECT h{e}.unit,
+         sum(h{e}.hv * d.a0) AS n0, sum(h{e}.hv * d.a1) AS n1,
+         sum(h{e}.hv * d.a2) AS n2, sum(h{e}.hv * d.a3) AS n3,
+         sum(h{e}.hv) AS den
+  FROM descs d JOIN b{e} USING (doc_id) JOIN h{e} ON h{e}.bmu = b{e}.bmu
+  GROUP BY h{e}.unit)""")
+        parts.append(f"""
+w{e + 1}t AS (
+  SELECT u.unit,
+         CASE WHEN u.den > 0 THEN u.n0/u.den ELSE w.c0 END AS c0,
+         CASE WHEN u.den > 0 THEN u.n1/u.den ELSE w.c1 END AS c1,
+         CASE WHEN u.den > 0 THEN u.n2/u.den ELSE w.c2 END AS c2,
+         CASE WHEN u.den > 0 THEN u.n3/u.den ELSE w.c3 END AS c3
+  FROM u{e} u JOIN w{e}t w ON w.unit = u.unit)""")
+    parts.append(f"""
+dfin AS (SELECT d.doc_id, w.unit, {hd('d.a', 'w.c')} AS dist
+  FROM descs d, w{n_iter}t w)""")
+    return (f"WITH RECURSIVE {_hmm_em2_ctes()},\n"
+            + ",\n".join(parts)
+            + """
+SELECT doc_id, CAST(unit AS INT) AS bmu, round(dist, 6) AS bmu_dist
+FROM (SELECT doc_id, unit, dist,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY dist, unit) AS rn
+      FROM dfin) WHERE rn = 1
+""")
 
 
 def _media_features_sql(n: int = 32, dim: int = 8) -> str:
@@ -2778,6 +2894,7 @@ FROM ranked WHERE rn = 1
         "peak_scan": _peak_scan_sql(),
         "hmm_estep": _hmm_estep_sql(),
         "hmm": _hmm_em2_sql(),
+        "similarity_position": _similarity_sql(),
         "onsets": _onsets_sql(),
         "features_battery": _features_battery_sql(),
         "nonlinear": _nonlinear_sql(),
