@@ -119,6 +119,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-docs", type=int, default=2,
                     help="passages: min distinct docs sharing a window "
                          "for it to count as duplicated")
+    ap.add_argument("--passage-key", choices=["hash", "md5"],
+                    default="hash",
+                    help="passages: window key. 'hash' = fast 64-bit "
+                         "rolling hash (collisions can cut clean "
+                         "tokens at trillion-token scale); 'md5' = "
+                         "exact content keys — use for destructive "
+                         "--emit cut runs at scale")
+    ap.add_argument("--cut-rounds", type=int, default=1,
+                    help="passages --emit cut: max excision rounds. 1 "
+                         "= single pass (seam-created duplicates may "
+                         "remain, reported as residual_span_starts); "
+                         ">1 = iterate excise_to_fixpoint to "
+                         "convergence, raising if still not converged")
+    ap.add_argument("--pair-method", choices=["join", "grouped"],
+                    default="join",
+                    help="semdedup: within-cluster scoring. 'grouped' "
+                         "= one BLAS pass per cluster (tight-cluster "
+                         "fast path); 'join' = pair-materializing "
+                         "equi-join (oversized-cluster fallback)")
     ap.add_argument("--emit", choices=["spans", "stats", "cut"],
                     default="spans",
                     help="passages: 'spans' = duplicated window starts "
@@ -251,19 +270,47 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from .ml.dedup import (duplicate_passage_spans, excise_passages,
-                               passage_dup_stats, passage_removal_spans)
+                               excise_to_fixpoint, passage_dup_stats,
+                               passage_removal_spans)
         if args.emit == "cut":
-            spans = passage_removal_spans(docs, k=args.passage_k,
-                                          min_docs=args.min_docs)
-            out = excise_passages(docs, spans)
-            storage.write_table(out, args.output)
-            written = storage.read_table(spark, args.output)
-            n_docs_all, removed = written.select(
-                F.count("*"), F.sum("n_removed")).first()
-            print(json.dumps({"docs": n_docs_all,
-                              "tokens_removed": int(removed or 0)}))
+            if args.cut_rounds > 1:
+                st: dict = {}
+                out = excise_to_fixpoint(docs, k=args.passage_k,
+                                         key=args.passage_key,
+                                         min_docs=args.min_docs,
+                                         max_rounds=args.cut_rounds,
+                                         stats=st)
+                storage.write_table(out, args.output)
+                written = storage.read_table(spark, args.output)
+                n_docs_all = written.count()
+                print(json.dumps({
+                    "docs": n_docs_all,
+                    "tokens_removed": st.get("tokens_removed", 0),
+                    "rounds": st.get("rounds", 0),
+                    "residual_span_starts": 0}))
+            else:
+                spans = passage_removal_spans(docs, k=args.passage_k,
+                                              key=args.passage_key,
+                                              min_docs=args.min_docs)
+                out = excise_passages(docs, spans)
+                storage.write_table(out, args.output)
+                written = storage.read_table(spark, args.output)
+                n_docs_all, removed = written.select(
+                    F.count("*"), F.sum("n_removed")).first()
+                # cutting creates new adjacencies across seams, so one
+                # pass is not a fixed point — report what remains so a
+                # single-pass cut is never mistaken for a converged one
+                residual = passage_removal_spans(
+                    written.drop("n_removed"), k=args.passage_k,
+                    key=args.passage_key,
+                    min_docs=args.min_docs).count()
+                print(json.dumps({"docs": n_docs_all,
+                                  "tokens_removed": int(removed or 0),
+                                  "rounds": 1,
+                                  "residual_span_starts": int(residual)}))
         elif args.emit == "stats":
             out = passage_dup_stats(docs, k=args.passage_k,
+                                    key=args.passage_key,
                                     min_docs=args.min_docs)
             storage.write_table(out, args.output)
             written = storage.read_table(spark, args.output)
@@ -276,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
                               "mean_dup_frac": float(frac or 0.0)}))
         else:
             out = duplicate_passage_spans(docs, k=args.passage_k,
+                                          key=args.passage_key,
                                           min_docs=args.min_docs)
             storage.write_table(out, args.output)
             written = storage.read_table(spark, args.output)
@@ -306,7 +354,8 @@ def main(argv: list[str] | None = None) -> int:
         from .ml.semdedup import semantic_dedup
         out = semantic_dedup(docs, args.threshold,
                              n_clusters=args.n_clusters,
-                             id_col=id_col, vec_col=args.vec_col)
+                             id_col=id_col, vec_col=args.vec_col,
+                             pair_method=args.pair_method)
         storage.write_table(out, args.output)
         written = storage.read_table(spark, args.output)
         n, kept = written.select(F.count("*"), F.sum("keep")).first()

@@ -625,11 +625,19 @@ def passage_removal_spans(docs: DataFrame, k: int = 16,
     content's cut span (k=2 example: docs [x,y] / [x,y,z] / [y,z,q] —
     (y,z)'s canonical home in the middle doc is itself cut as a
     non-canonical (x,y) occurrence, so (y,z) survives nowhere). What
-    IS guaranteed: a token is only ever cut when its window content
-    verifiably appears elsewhere in the corpus, and the cut set is a
-    deterministic function of the corpus. Resolving the interaction
-    exactly requires the suffix-array maximal-match machinery of the
-    original paper, out of scope for the fixed-k variant.
+    IS guaranteed UNDER ``key="md5"``: a token is only ever cut when
+    its window content verifiably appears elsewhere in the corpus,
+    and the cut set is a deterministic function of the corpus. The
+    default ``key="hash"`` trades that guarantee for speed: it keys
+    windows by a 64-bit linear rolling hash, so a hash collision
+    marks a non-duplicated window as duplicated and the cut silently
+    removes clean tokens — at trillion-token scale birthday
+    collisions are EXPECTED (~n²/2⁶⁵ colliding window pairs), so
+    destructive cuts at that scale should pass ``key="md5"`` (the
+    CLI exposes ``--passage-key``). Resolving the keep-one
+    interaction exactly requires the suffix-array maximal-match
+    machinery of the original paper, out of scope for the fixed-k
+    variant.
 
     Scale: the canonical pick is a map-side-combinable
     ``groupBy(pkey).agg(min(struct(doc_id, pos)))`` — struct ordering
@@ -661,7 +669,9 @@ def excise_passages(docs: DataFrame,
                     spans: DataFrame) -> DataFrame:
     """Cut (exclusive-end) token spans out of each doc: returns the
     doc row with ``tokens`` rewritten as the in-order concatenation of
-    the complement slices, ``n_tok`` updated, ``n_removed`` appended,
+    the complement slices, ``n_tok`` updated, ``n_removed`` appended
+    (a pre-existing ``n_removed`` column is summed in, so chained
+    excisions compose cleanly and report CUMULATIVE tokens removed),
     and EVERY OTHER doc column (source etc.) carried through — the
     output keeps the canonical docs shape so it feeds the downstream
     stages (mixing stratifies on source, packing reads n_tok) without
@@ -703,10 +713,25 @@ def excise_passages(docs: DataFrame,
 
     out = src.mapInPandas(
         cut, "doc_id string, tokens array<int>, n_tok int, n_removed int")
+    # n_removed is excluded from the passthrough (it is THIS pass's
+    # output column): composing a second excision on a frame that
+    # still carries a prior pass's n_removed would otherwise emit two
+    # ambiguous n_removed columns. A prior count is instead SUMMED
+    # into the new column, so chained excisions report cumulative
+    # tokens removed (what excise_to_fixpoint totals by hand).
+    prior = "n_removed" in docs.columns
     passthru = [c for c in docs.columns
-                if c not in ("doc_id", "tokens", "n_tok")]
-    if passthru:
-        out = out.join(docs.select("doc_id", *passthru), "doc_id")
+                if c not in ("doc_id", "tokens", "n_tok", "n_removed")]
+    if passthru or prior:
+        right_cols = passthru + (["n_removed"] if prior else [])
+        right = docs.select(
+            "doc_id", *[F.col(c).alias(f"_prior_{c}" if c == "n_removed"
+                                       else c) for c in right_cols])
+        out = out.join(right, "doc_id")
+        if prior:
+            out = (out.withColumn(
+                "n_removed", F.col("n_removed") + F.col("_prior_n_removed"))
+                .drop("_prior_n_removed"))
     return out
 
 

@@ -157,6 +157,69 @@ def semantic_dup_pairs(vectors: DataFrame, threshold: float,
             .where(F.col("cos_sim") >= threshold))
 
 
+def semantic_dup_pairs_grouped(vectors: DataFrame, threshold: float,
+                               n_clusters: int = 8,
+                               centroids: np.ndarray | None = None,
+                               sample_size: int = 2048, seed: int = 13,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               assign: DataFrame | None = None
+                               ) -> DataFrame:
+    """Per-cluster GROUPED scoring variant of ``semantic_dup_pairs``
+    (VERDICT r04 #6): one ``applyInPandas`` per cluster scores the
+    whole within-cluster similarity matrix in a single BLAS pass —
+    no same-cluster id-pair materialization and no per-pair payload
+    join, which the join form pays BEFORE the threshold cut (its
+    candidate set is quadratic in cluster size even when almost
+    nothing survives). This is the right shape for the tight-cluster
+    regime SemDeDup targets (the paper's ~100k clusters over
+    billions of rows keep |cluster| small); each task holds one
+    cluster's |c|×dim block plus its |c|² similarity matrix, so for
+    DEGENERATE clustering (a catch-all cluster with millions of
+    members) keep the join form, whose pairs spill to the shuffle
+    instead of one task's heap — same pairing as ivf vs brute in
+    simsearch. Emits the same (cluster, id_a, id_b, cos_sim) rows,
+    id_a < id_b, rounded to 6 decimals."""
+    if assign is None:
+        if centroids is None:
+            centroids = _default_centroids(vectors, id_col, vec_col,
+                                           n_clusters, sample_size,
+                                           seed)
+            if centroids is None:    # empty corpus
+                return vectors.sparkSession.createDataFrame(
+                    [], PAIR_SCHEMA)
+        assign = semantic_assign(vectors, centroids, id_col, vec_col)
+
+    v = vectors.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    data = v.join(assign.select("id", "cluster"), "id")
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int32"),
+                 "id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cos_sim": pd.Series([], dtype="float64")})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.stack([np.asarray(r, "float64")
+                      for r in pdf["v"].to_numpy()])[order]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-300)
+        sims = xn @ xn.T
+        iu, ju = np.triu_indices(n, k=1)
+        s = np.round(sims[iu, ju], 6)
+        m = s >= threshold
+        return pd.DataFrame({
+            "cluster": np.full(int(m.sum()), key[0], dtype="int32"),
+            "id_a": ids[iu[m]], "id_b": ids[ju[m]], "cos_sim": s[m]})
+
+    return data.groupBy("cluster").applyInPandas(score, PAIR_SCHEMA)
+
+
 def semantic_dedup(vectors: DataFrame, threshold: float,
                    n_clusters: int = 8,
                    centroids: np.ndarray | None = None,
@@ -164,7 +227,8 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    max_iter: int = 25,
-                   cc_algorithm: str = "propagate") -> DataFrame:
+                   cc_algorithm: str = "propagate",
+                   pair_method: str = "join") -> DataFrame:
     """Full SemDeDup verdict per vector: (id, cluster, centroid_sim,
     group_id, keep). Duplicate groups are connected components of the
     within-cluster pair graph; each group keeps exactly the member
@@ -173,7 +237,12 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
 
     Components run at pair scale; the verdict is one window over
     groups (singletons hit tiny partitions) and one id-shuffle join
-    back to the corpus."""
+    back to the corpus. ``pair_method``: "join" (pair-materializing
+    equi-join — the oversized-cluster fallback) or "grouped"
+    (per-cluster applyInPandas BLAS pass — the tight-cluster fast
+    path; see ``semantic_dup_pairs_grouped``)."""
+    if pair_method not in ("join", "grouped"):
+        raise ValueError(f"unknown pair_method {pair_method!r}")
     if centroids is None:
         centroids = _default_centroids(vectors, id_col, vec_col,
                                        n_clusters, sample_size, seed)
@@ -183,9 +252,10 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
 
     assign = semantic_assign(vectors, centroids, id_col, vec_col) \
         .localCheckpoint(eager=False)
-    pairs = semantic_dup_pairs(vectors, threshold, centroids=centroids,
-                               id_col=id_col, vec_col=vec_col,
-                               assign=assign)
+    pair_fn = (semantic_dup_pairs if pair_method == "join"
+               else semantic_dup_pairs_grouped)
+    pairs = pair_fn(vectors, threshold, centroids=centroids,
+                    id_col=id_col, vec_col=vec_col, assign=assign)
     comp = connected_components(pairs.select("id_a", "id_b"),
                                 max_iter=max_iter, algorithm=cc_algorithm)
     base = (assign

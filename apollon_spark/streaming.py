@@ -157,15 +157,58 @@ def stream_exact_dedup(docs: DataFrame, content_col: str = "text",
     return out.drop("__content_h")
 
 
-def store_meta_guard(store_path: str, params: dict) -> None:
+def store_meta_guard(store_path: str, params: dict,
+                     spark=None) -> None:
     """Pin the store-layout parameters that the partition-pruning
     invariant depends on (``n_prefixes`` above all: a store written
     under one modulus is UNREADABLE-correctly under another — the
     pruned read would silently miss matching partitions). First use
     writes ``<store>/_store_meta.json``; every later open validates
-    and raises on mismatch instead of silently missing duplicates."""
+    and raises on mismatch instead of silently missing duplicates.
+
+    With ``spark``, the meta file is resolved through the Hadoop
+    FileSystem API, so the guard works on every URI the store itself
+    uses (s3a://, hdfs://, file:). The bare-os.path fallback is
+    LOCAL-FILESYSTEM-ONLY: on a shared-filesystem URI os.path.exists
+    is always false, the guard would silently rewrite the meta file
+    each run and never detect a mismatch — exactly the
+    missed-duplicates mode it exists to prevent — so a scheme'd path
+    without ``spark`` raises instead."""
     import json
     import os
+    if spark is not None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(store_path,
+                                             "_store_meta.json")
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            stream = fs.open(path)
+            try:
+                raw = bytes(jvm.org.apache.commons.io.IOUtils
+                            .toByteArray(stream))
+            finally:
+                stream.close()
+            stored = json.loads(raw.decode("utf-8"))
+            if stored != params:
+                raise ValueError(
+                    f"store at {store_path} was written with {stored}; "
+                    f"reopening with {params} would break partition "
+                    f"pruning (silently missed duplicates) — use the "
+                    f"original parameters or a fresh store path")
+            return
+        out = fs.create(path, False)
+        try:
+            out.write(bytearray(json.dumps(params).encode("utf-8")))
+        finally:
+            out.close()
+        return
+    if "://" in store_path:
+        raise ValueError(
+            f"store_meta_guard needs a SparkSession to validate a "
+            f"shared-filesystem store ({store_path}); the os.path "
+            f"fallback cannot see it and would silently skip the "
+            f"n_prefixes check")
     meta_path = os.path.join(store_path, "_store_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
@@ -275,7 +318,8 @@ def stream_minhash_neardup(spark, src_path: str, store_path: str,
 
     store_meta_guard(store_path, {
         "kind": "minhash", "n_hashes": n_hashes, "n_bands": n_bands,
-        "shingle_k": shingle_k, "seed": seed, "n_prefixes": n_prefixes})
+        "shingle_k": shingle_k, "seed": seed, "n_prefixes": n_prefixes},
+        spark=spark)
     stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
               .parquet(src_path))
 
@@ -425,7 +469,8 @@ def stream_duplicate_passages(spark, src_path: str, store_path: str,
     from .ml.dedup import _doc_passages
 
     store_meta_guard(store_path, {"kind": "passages", "k": k,
-                                  "n_prefixes": n_prefixes})
+                                  "n_prefixes": n_prefixes},
+                     spark=spark)
     stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
               .parquet(src_path))
 

@@ -136,3 +136,37 @@ def test_empty_input_default_centroids(spark):
     assert out.count() == 0
     assert out.columns == ["id", "cluster", "centroid_sim",
                            "group_id", "keep"]
+
+
+def test_grouped_pairs_equal_join_pairs(spark, emb):
+    """VERDICT r04 #6: the per-cluster applyInPandas scoring variant
+    must emit exactly the pair set and similarities of the
+    pair-materializing join form, and the verdict pipeline must be
+    identical under either pair_method."""
+    df, vecs = emb
+    cents = vecs[:5]
+    join_p = semdedup.semantic_dup_pairs(df, 0.9, centroids=cents) \
+        .toPandas()
+    grp_p = semdedup.semantic_dup_pairs_grouped(df, 0.9, centroids=cents) \
+        .toPandas()
+    jk = {(int(r.id_a), int(r.id_b)): (int(r.cluster), r.cos_sim)
+          for r in join_p.itertuples()}
+    gk = {(int(r.id_a), int(r.id_b)): (int(r.cluster), r.cos_sim)
+          for r in grp_p.itertuples()}
+    assert jk.keys() == gk.keys() and len(jk) > 0
+    for k in jk:
+        assert jk[k][0] == gk[k][0]
+        np.testing.assert_allclose(jk[k][1], gk[k][1], rtol=0, atol=1e-9)
+
+    vj = semdedup.semantic_dedup(df, 0.9, centroids=cents,
+                                 pair_method="join").toPandas() \
+        .sort_values("id").reset_index(drop=True)
+    vg = semdedup.semantic_dedup(df, 0.9, centroids=cents,
+                                 pair_method="grouped").toPandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert vj["keep"].tolist() == vg["keep"].tolist()
+    assert vj["group_id"].tolist() == vg["group_id"].tolist()
+
+    with pytest.raises(ValueError, match="pair_method"):
+        semdedup.semantic_dedup(df, 0.9, centroids=cents,
+                                pair_method="bogus")

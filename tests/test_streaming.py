@@ -430,3 +430,25 @@ def test_store_meta_guard(tmp_path):
     store_meta_guard(store, dict(params))          # idempotent reopen
     with _pytest.raises(ValueError, match="partition pruning"):
         store_meta_guard(store, {**params, "n_prefixes": 32})
+
+
+def test_store_meta_guard_hadoop_fs(spark, tmp_path):
+    """With a SparkSession the guard resolves the meta file through
+    the Hadoop FileSystem API (works on s3a://hdfs:// URIs, unlike
+    os.path); same write/validate/raise contract, interoperable with
+    the os.path form. A scheme'd path WITHOUT spark must raise
+    instead of silently skipping the check."""
+    import pytest as _pytest
+
+    from apollon_spark.streaming import store_meta_guard
+    store = str(tmp_path / "hstore")
+    params = {"kind": "minhash", "n_prefixes": 16}
+    store_meta_guard(store, params, spark=spark)
+    store_meta_guard(store, dict(params), spark=spark)   # reopen ok
+    with _pytest.raises(ValueError, match="n_prefixes|written with"):
+        store_meta_guard(store, {**params, "n_prefixes": 32},
+                         spark=spark)
+    # interop: the os.path reader sees the hadoop-written file
+    store_meta_guard(store, dict(params))
+    with _pytest.raises(ValueError, match="SparkSession"):
+        store_meta_guard("s3a://bucket/store", params)
