@@ -72,10 +72,19 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
     out_split = extract_features(whales, cfg, split=True, chunk_segs=256)
     union = out_fast.unionByName(out_split)
 
+    # warm the FULL pipeline once off the clock (not just the worker-
+    # import subset above): the first full pass pays whole-stage
+    # codegen compile + halo-exchange setup + JIT, which inflated the
+    # driver-recorded headline's first runs by up to 65% in r04
+    # (BENCH_r04 1.41-2.33s spread on identical code) while README's
+    # closing idle runs saw a warm JVM. Policy recorded in BASELINE.md
+    # (VERDICT r04 #7).
+    union.count()
+
     # best-of-N: this box shows multi-second JVM stalls (GC/heap
     # growth) that can double a run at random; the best run is the
     # intrinsic throughput the scaling criterion is about
-    n_runs = max(1, int(os.environ.get("BENCH_RUNS", 4)))
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", 6)))
     runs, n_segs = [], 0
     for _ in range(n_runs):
         t0 = time.time()
@@ -90,9 +99,11 @@ def bench_features(spark, sf: float, n_docs: int | None = None) -> dict:
         "n_docs": total_docs,
         "n_segments": n_segs,
         "n_runs": n_runs,
-        "run_policy": "best-of-N on cached input (JVM GC stalls on this"
-                      " box randomly inflate individual runs); median and"
-                      " per-run times reported alongside",
+        "run_policy": "one full-pipeline warm pass off the clock (codegen"
+                      " compile + JIT), then best-of-N on cached input"
+                      " (JVM GC stalls on this box randomly inflate"
+                      " individual runs); median and per-run times"
+                      " reported alongside",
         "runs_sec": [round(r, 3) for r in runs],
         "sequences_per_sec": round(total_docs / best, 3),
         "sequences_per_sec_median": round(total_docs / median, 3),
