@@ -527,8 +527,14 @@ def ngram_lm_score(docs: DataFrame, ref: DataFrame,
 
     # ctx via integer division (`div`): a double roundtrip would lose
     # exactness once gram exceeds 2^53 (large-V packings)
+    # the model is PINNED (lazy localCheckpoint, materialized by the
+    # probe count below): it is consumed up to four times — size
+    # probe(s), the uni_ref derivation, and both join sides — and
+    # unlike the exploded passage-window table (SCALE.md §6f) it is
+    # model-sized, far below its own build cost, so pinning wins
     bi_ref = (_bigrams(ref)
-              .groupBy("gram").agg(F.count("*").alias("c2")))
+              .groupBy("gram").agg(F.count("*").alias("c2"))
+              .localCheckpoint(eager=False))
     # unigram context counts: the leading token of each bigram
     uni_ref = (bi_ref
                .withColumn("ctx", F.expr(f"gram div {V}"))

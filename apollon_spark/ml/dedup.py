@@ -750,8 +750,12 @@ def excise_to_fixpoint(docs: DataFrame, k: int = 16, key: str = "hash",
     Raises RuntimeError when ``max_rounds`` is exhausted with spans
     still present — a partially-deduped corpus returned silently would
     be the same corruption mode the CC loops guard against. ``stats``
-    (optional dict) receives {"rounds": n, "tokens_removed": m}."""
-    cur = docs
+    (optional dict) receives {"rounds": n, "tokens_removed": m} for
+    THIS run only: a pre-existing ``n_removed`` column on the input
+    (a prior excision's output) is dropped at entry, else
+    ``excise_passages``'s cumulative-sum passthrough would fold the
+    prior run's removals into round 0's total."""
+    cur = docs.drop("n_removed") if "n_removed" in docs.columns else docs
     removed_total = 0
     for r in range(max_rounds + 1):
         spans = passage_removal_spans(cur, k, key, min_docs)

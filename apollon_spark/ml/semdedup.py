@@ -211,7 +211,16 @@ def semantic_dup_pairs_grouped(vectors: DataFrame, threshold: float,
                             1e-300)
         sims = xn @ xn.T
         iu, ju = np.triu_indices(n, k=1)
-        s = np.round(sims[iu, ju], 6)
+        # HALF-UP rounding (floor(x*1e6 + 0.5)) to match the join
+        # form's F.round tie direction — np.round is half-to-EVEN, so
+        # a similarity landing exactly on a .5e-6 tie would round
+        # differently between pair_method settings and flip a pair at
+        # the threshold boundary. Residual divergence class: values
+        # whose decimal expansion sits within ~1 ulp of the tie (the
+        # scaled multiply is float, Spark's BigDecimal path is
+        # decimal-exact) — measure-zero for real cosine data, noted
+        # in test_grouped_pairs_equal_join_pairs.
+        s = np.floor(sims[iu, ju] * 1e6 + 0.5) / 1e6
         m = s >= threshold
         return pd.DataFrame({
             "cluster": np.full(int(m.sum()), key[0], dtype="int32"),

@@ -315,11 +315,22 @@ def fit_batch_som(vectors: DataFrame, vec_col: str, p: SomParams,
 
 def assign_bmu(vectors: DataFrame, vec_col: str, weights: np.ndarray,
                metric: str = "euclidean",
-               out_cols: tuple[str, str] = ("bmu", "bmu_dist")) -> DataFrame:
+               out_cols: tuple[str, str] = ("bmu", "bmu_dist"),
+               round_scale: int | None = None) -> DataFrame:
     """Attach BMU index + distance to every row — broadcast weights,
-    vectorized argmin per Arrow batch; never a crossJoin."""
+    vectorized argmin per Arrow batch; never a crossJoin.
+
+    ``round_scale``: round the distances to this many decimals BEFORE
+    the argmin (ties -> lowest unit). A determinism knob for
+    value-compared outputs: two units whose true distances differ by
+    float-sum noise usually round to the SAME grid value and the unit
+    tiebreak decides identically everywhere, instead of the raw
+    argmin flipping on the noise. The reported distance is the
+    rounded one (rounding is monotone, so min-of-rounded ==
+    rounded-min)."""
     spark = vectors.sparkSession
-    bw = spark.sparkContext.broadcast({"w": weights, "m": metric})
+    bw = spark.sparkContext.broadcast(
+        {"w": weights, "m": metric, "r": round_scale})
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
     schema = StructType(list(vectors.schema.fields)
                         + [StructField(out_cols[0], IntegerType()),
@@ -331,7 +342,12 @@ def assign_bmu(vectors: DataFrame, vec_col: str, weights: np.ndarray,
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vec_col].to_numpy())
-            bmu, dist = best_match(st["w"], x, st["m"])
+            if st["r"] is not None:
+                d = cdist(st["w"], x, st["m"])
+                d = np.round(d, st["r"])
+                bmu, dist = d.argmin(axis=0), d.min(axis=0)
+            else:
+                bmu, dist = best_match(st["w"], x, st["m"])
             out = pdf.copy()
             out[out_cols[0]] = bmu.astype("int32")
             out[out_cols[1]] = dist

@@ -185,11 +185,17 @@ def store_meta_guard(store_path: str, params: dict,
         if fs.exists(path):
             stream = fs.open(path)
             try:
-                raw = bytes(jvm.org.apache.commons.io.IOUtils
-                            .toByteArray(stream))
+                # JDK-only read (java.util.Scanner \\A slurp): the
+                # obvious commons-io IOUtils.toByteArray is an
+                # UNSHADED third-party class that relocated/shaded
+                # Spark classpaths may not expose — a guard that
+                # crashes on open would break every stream restart
+                scanner = jvm.java.util.Scanner(stream, "UTF-8") \
+                    .useDelimiter("\\A")
+                raw = scanner.next() if scanner.hasNext() else "{}"
             finally:
                 stream.close()
-            stored = json.loads(raw.decode("utf-8"))
+            stored = json.loads(raw)
             if stored != params:
                 raise ValueError(
                     f"store at {store_path} was written with {stored}; "

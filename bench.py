@@ -154,7 +154,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "bmu_fixed", "hmm", "ann_rerank",
              "pack_sequences", "contamination", "sample_stratified",
              "vocab_topk", "dup_clusters", "peak_scan", "hmm_estep",
-             "dup_passages", "nonlinear", "cosine_semantic"]
+             "dup_passages", "nonlinear", "cosine_semantic",
+             "similarity_position"]
     # late-r04 gate-definition notes: features_battery gained a
     # 6dp-round projection and dropped the constant-NaN entropy column
     # (value-oracle conversion; same UDF work, negligible timing
@@ -246,12 +247,15 @@ def main() -> None:
     # columns) — same exclusion rule as R03_GROWN: not apples-to-apples
     # with its r03 timing, so it leaves the r03-comparable subtotal
     R04_GROWN = {"contamination"}
-    # hmm was REDEFINED in r05 (VERDICT r04 #3): the rows-only
-    # EM-to-convergence fit became the value-oracled 2-iteration
-    # training unroll — different work, so it leaves every earlier
-    # comparable subtotal (the full fit stays driveable via the CLI
-    # hmm stage and pytest)
-    R05_CHANGED = {"hmm"}
+    # hmm and similarity_position were REDEFINED in r05 (VERDICT r04
+    # #3/#4): the rows-only EM-to-convergence fit became the
+    # value-oracled 2-iteration training unroll, and the limit(64)
+    # free-convergence similarity pipeline became the full-corpus
+    # em2-descriptor + fixed-w0 SOM composition — different work, so
+    # both leave every earlier comparable subtotal (the free-
+    # convergence paths stay driveable via the CLI hmm/som stages
+    # and pytest)
+    R05_CHANGED = {"hmm", "similarity_position"}
     r01_subset = round(sum(v for k, v in queries.items()
                            if k not in R02_ADDED | R03_ADDED | R03_GROWN
                            | R04_ADDED | R05_CHANGED), 3)

