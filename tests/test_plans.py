@@ -228,3 +228,21 @@ def test_passage_canonical_pick_is_aggregate_not_window(spark):
             assert "pkey" not in line, line
     # the min(struct(doc_id, pos)) canonical aggregate is present
     assert "min(struct" in plan.replace("_minstruct", ""), plan
+
+
+def test_em_two_iter_docs_plan_is_one_arrow_pass(spark):
+    """The 2-iteration EM training unroll (the r05 hmm gate kernel)
+    must stay the per-doc shuffle-free shape: Scan -> Project ->
+    [spread_compact round-robin] -> ONE MapInPandas. No aggregation
+    exchange, no join — both EM iterations and the quantized handoff
+    run inside one Arrow pass per doc."""
+    from apollon_spark.hmm import em_two_iter_docs
+    from apollon_spark.tokenize import docs_from_documents
+    docs = docs_from_documents(spark, "/root/testdata/sf0.001")
+    out = em_two_iter_docs(docs, (16.0, 128.0),
+                           ((0.75, 0.25), (0.375, 0.625)), (0.5, 0.5))
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 1, plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+    # the only exchange is the deliberate small-input spread
+    assert plan.count("Exchange") <= 1, plan
