@@ -2072,12 +2072,26 @@ JOIN u2g g ON g.doc_id = q.doc_id
 """
 
 
+def _q16(col: str) -> str:
+    """The SQL twin of ``hmm._quant16``: nearest-2^-16-grid rounding
+    (floor + 0.5, exact IEEE ops, half-up tie rule) floored at one
+    grid step."""
+    return (f"greatest(floor(u.{col}*65536.0 + 0.5)/65536.0, "
+            f"1.0/65536.0)")
+
+
 def _hmm_em2_ctes() -> str:
     """The FULL 2-iteration CTE chain (iteration-1 block + quantized
     handoff + per-doc emission recursion + second forward-backward +
     M-step), shared by ``_hmm_em2_sql`` and ``_similarity_sql`` —
     ends with ``upd2``/``u2g`` carrying iteration-2 (λ,Γ,δ,ll) per
     doc."""
+    quant = ",\n         ".join(
+        f"{_q16(src)} AS {dst}"
+        for src, dst in [("lam0_next", "l0"), ("lam1_next", "l1"),
+                         ("g00_next", "g00q"), ("g01_next", "g01q"),
+                         ("g10_next", "g10q"), ("g11_next", "g11q"),
+                         ("delta0_next", "d0q"), ("delta1_next", "d1q")])
     return f"""{_hmm_iter1_ctes()},
 qe AS MATERIALIZED (
   SELECT u.doc_id, m.xm, m.n_tok, u.ll AS ll1,
@@ -2085,18 +2099,9 @@ qe AS MATERIALIZED (
          u.g00_next AS g00_1, u.g01_next AS g01_1,
          u.g10_next AS g10_1, u.g11_next AS g11_1,
          u.delta0_next AS delta0_1, u.delta1_next AS delta1_1,
-         greatest(floor(u.lam0_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS l0,
-         greatest(floor(u.lam1_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS l1,
-         greatest(floor(u.g00_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS g00q,
-         greatest(floor(u.g01_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS g01q,
-         greatest(floor(u.g10_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS g10q,
-         greatest(floor(u.g11_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS g11q,
-         greatest(floor(u.delta0_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS d0q,
-         greatest(floor(u.delta1_next*65536.0 + 0.5)/65536.0, 1.0/65536.0) AS d1q,
-         exp(-greatest(floor(u.lam0_next*65536.0 + 0.5)/65536.0, 1.0/65536.0))
-           AS e0c,
-         exp(-greatest(floor(u.lam1_next*65536.0 + 0.5)/65536.0, 1.0/65536.0))
-           AS e1c
+         {quant},
+         exp(-{_q16("lam0_next")}) AS e0c,
+         exp(-{_q16("lam1_next")}) AS e1c
   FROM upd1 u
   JOIN (SELECT doc_id, max(x) AS xm, max(n_tok) AS n_tok
         FROM xs GROUP BY doc_id) m ON m.doc_id = u.doc_id

@@ -618,6 +618,9 @@ def em_two_iter_docs(docs: DataFrame, lam, gamma, delta,
     every per-doc kernel here."""
     btab = estep_b_table(lam, max_x=max_x)
     bmax_tab = estep_bmax_table(lam, max_x=max_x)
+    cols = (["doc_id", "n_tok"]
+            + [f"{c}_{t}" for t in ("1", "2") for c in EM2_ITER_COLS]
+            + ["dll"])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -644,19 +647,15 @@ def em_two_iter_docs(docs: DataFrame, lam, gamma, delta,
                 row["dll"] = u2["ll"] - u1["ll"]
                 out.append(row)
             if out:
-                cols = (["doc_id", "n_tok"]
-                        + [f"{c}_{t}" for t in ("1", "2")
-                           for c in EM2_ITER_COLS] + ["dll"])
                 yield pd.DataFrame(out, columns=cols)
 
     from .session import spread_compact
     src = docs.select("doc_id", "tokens")
     if spread:
         src = spread_compact(src)
-    iter_cols = ", ".join(f"{c}_{t} double"
-                          for t in ("1", "2") for c in EM2_ITER_COLS)
     return src.mapInPandas(
-        gen, f"doc_id string, n_tok int, {iter_cols}, dll double")
+        gen, "doc_id string, n_tok int, "
+             + ", ".join(f"{c} double" for c in cols[2:]))
 
 
 # ---------------------------------------------------------------------------

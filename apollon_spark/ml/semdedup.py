@@ -101,6 +101,24 @@ def semantic_assign(vectors: DataFrame, centroids: np.ndarray,
         assign, "id long, cluster int, centroid_sim double")
 
 
+def _ensure_assign(vectors: DataFrame, n_clusters: int,
+                   centroids: np.ndarray | None, sample_size: int,
+                   seed: int, id_col: str, vec_col: str,
+                   assign: DataFrame | None) -> DataFrame | None:
+    """Shared bootstrap for the two pair miners: pass through a
+    caller-provided routing table, else train/accept centroids and
+    route. None signals an empty corpus (callers return an empty
+    PAIR_SCHEMA frame)."""
+    if assign is not None:
+        return assign
+    if centroids is None:
+        centroids = _default_centroids(vectors, id_col, vec_col,
+                                       n_clusters, sample_size, seed)
+        if centroids is None:        # empty corpus
+            return None
+    return semantic_assign(vectors, centroids, id_col, vec_col)
+
+
 def semantic_dup_pairs(vectors: DataFrame, threshold: float,
                        n_clusters: int = 8,
                        centroids: np.ndarray | None = None,
@@ -125,15 +143,10 @@ def semantic_dup_pairs(vectors: DataFrame, threshold: float,
     routing scan runs once — and is checkpointed once, not re-pinned
     here on top of the caller's checkpoint."""
     keys_checkpointed = assign is not None
+    assign = _ensure_assign(vectors, n_clusters, centroids, sample_size,
+                            seed, id_col, vec_col, assign)
     if assign is None:
-        if centroids is None:
-            centroids = _default_centroids(vectors, id_col, vec_col,
-                                           n_clusters, sample_size,
-                                           seed)
-            if centroids is None:    # empty corpus
-                return vectors.sparkSession.createDataFrame(
-                    [], PAIR_SCHEMA)
-        assign = semantic_assign(vectors, centroids, id_col, vec_col)
+        return vectors.sparkSession.createDataFrame([], PAIR_SCHEMA)
 
     v = vectors.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
@@ -180,15 +193,10 @@ def semantic_dup_pairs_grouped(vectors: DataFrame, threshold: float,
     instead of one task's heap — same pairing as ivf vs brute in
     simsearch. Emits the same (cluster, id_a, id_b, cos_sim) rows,
     id_a < id_b, rounded to 6 decimals."""
+    assign = _ensure_assign(vectors, n_clusters, centroids, sample_size,
+                            seed, id_col, vec_col, assign)
     if assign is None:
-        if centroids is None:
-            centroids = _default_centroids(vectors, id_col, vec_col,
-                                           n_clusters, sample_size,
-                                           seed)
-            if centroids is None:    # empty corpus
-                return vectors.sparkSession.createDataFrame(
-                    [], PAIR_SCHEMA)
-        assign = semantic_assign(vectors, centroids, id_col, vec_col)
+        return vectors.sparkSession.createDataFrame([], PAIR_SCHEMA)
 
     v = vectors.select(F.col(id_col).cast("long").alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))

@@ -157,6 +157,16 @@ def stream_exact_dedup(docs: DataFrame, content_col: str = "text",
     return out.drop("__content_h")
 
 
+def _validate_store_meta(store_path: str, stored: dict,
+                         params: dict) -> None:
+    if stored != params:
+        raise ValueError(
+            f"store at {store_path} was written with {stored}; "
+            f"reopening with {params} would break partition "
+            f"pruning (silently missed duplicates) — use the "
+            f"original parameters or a fresh store path")
+
+
 def store_meta_guard(store_path: str, params: dict,
                      spark=None) -> None:
     """Pin the store-layout parameters that the partition-pruning
@@ -195,13 +205,7 @@ def store_meta_guard(store_path: str, params: dict,
                 raw = scanner.next() if scanner.hasNext() else "{}"
             finally:
                 stream.close()
-            stored = json.loads(raw)
-            if stored != params:
-                raise ValueError(
-                    f"store at {store_path} was written with {stored}; "
-                    f"reopening with {params} would break partition "
-                    f"pruning (silently missed duplicates) — use the "
-                    f"original parameters or a fresh store path")
+            _validate_store_meta(store_path, json.loads(raw), params)
             return
         out = fs.create(path, False)
         try:
@@ -218,13 +222,7 @@ def store_meta_guard(store_path: str, params: dict,
     meta_path = os.path.join(store_path, "_store_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
-            stored = json.load(fh)
-        if stored != params:
-            raise ValueError(
-                f"store at {store_path} was written with {stored}; "
-                f"reopening with {params} would break partition "
-                f"pruning (silently missed duplicates) — use the "
-                f"original parameters or a fresh store path")
+            _validate_store_meta(store_path, json.load(fh), params)
         return
     os.makedirs(store_path, exist_ok=True)
     with open(meta_path, "w") as fh:
