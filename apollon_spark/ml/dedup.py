@@ -1088,8 +1088,17 @@ def resolve_dup_clusters(docs: DataFrame, pairs: DataFrame,
 
     Scale: components run over the pair list only (candidate-scale,
     not corpus-scale); the verdict join back to docs is one shuffle on
-    the id; the per-cluster window sorts candidate-scale groups
-    (singletons hit WindowGroupLimit-style tiny partitions).
+    the id. The canonical pick and cluster_size are ONE map-side-
+    combinable ``groupBy(cluster_id)`` aggregate (min-by-struct over
+    (-size, id) — lexicographic struct ordering IS "largest size,
+    ties smallest id") joined back on cluster_id. The r04 form was a
+    per-cluster ``row_number()`` window with the rank PROJECTED into
+    the keep column — no rank filter follows, so Spark's
+    WindowGroupLimit cannot bound it, and one boilerplate page
+    duplicated a billion times would have been a single task's full
+    sort (the same scale-killer class as the passage canonical pick,
+    VERDICT r04 #2); the aggregate form partial-combines the hot
+    cluster map-side and the residual join is AQE skew-splittable.
     """
     comp = connected_components(
         pairs.select(F.col("id_a").cast("string").alias("id_a"),
@@ -1100,10 +1109,12 @@ def resolve_dup_clusters(docs: DataFrame, pairs: DataFrame,
             .select(id_col, size_col,
                     F.coalesce("cluster_id", F.col(id_col))
                     .alias("cluster_id")))
-    w = Window.partitionBy("cluster_id")
-    rank = Window.partitionBy("cluster_id").orderBy(
-        F.col(size_col).desc(), F.col(id_col).asc())
-    return base.select(
-        id_col, "cluster_id",
-        F.count("*").over(w).alias("cluster_size"),
-        (F.row_number().over(rank) == 1).cast("int").alias("keep"))
+    canon = (base.groupBy("cluster_id")
+             .agg(F.count("*").alias("cluster_size"),
+                  F.min(F.struct((-F.col(size_col)).alias("ns"),
+                                 F.col(id_col).alias("cid")))
+                  .alias("_c")))
+    return (base.join(canon, "cluster_id")
+            .select(id_col, "cluster_id", "cluster_size",
+                    (F.col("_c.cid") == F.col(id_col)).cast("int")
+                    .alias("keep")))

@@ -34,7 +34,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import connected_components
@@ -280,8 +280,18 @@ def semantic_dedup(vectors: DataFrame, threshold: float,
             .select("id", "cluster", "centroid_sim",
                     F.coalesce("cluster_id", F.col("id"))
                     .alias("group_id")))
-    rank = Window.partitionBy("group_id").orderBy(
-        F.col("centroid_sim").asc(), F.col("id").asc())
-    return base.select(
-        "id", "cluster", "centroid_sim", "group_id",
-        (F.row_number().over(rank) == 1).cast("int").alias("keep"))
+    # keep = min-by-struct (centroid_sim, id) per group — the paper's
+    # lowest-centroid-similarity keep policy, ties -> lowest id — as a
+    # map-side-combinable aggregate + group-key join instead of a
+    # per-group row_number window: the rank is projected (not
+    # filtered), so WindowGroupLimit could never bound a mega
+    # duplicate group's single-task sort (same de-skew as
+    # resolve_dup_clusters / the passage canonical pick)
+    canon = (base.groupBy("group_id")
+             .agg(F.min(F.struct(F.col("centroid_sim").alias("cs"),
+                                 F.col("id").alias("cid")))
+                  .alias("_c")))
+    return (base.join(canon, "group_id")
+            .select("id", "cluster", "centroid_sim", "group_id",
+                    (F.col("_c.cid") == F.col("id")).cast("int")
+                    .alias("keep")))

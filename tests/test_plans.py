@@ -246,3 +246,39 @@ def test_em_two_iter_docs_plan_is_one_arrow_pass(spark):
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
     # the only exchange is the deliberate small-input spread
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_cluster_and_group_canonical_picks_are_aggregates(spark):
+    """The dup-cluster and SemDeDup-group canonical picks must be
+    min-by-struct aggregates, not per-key row_number windows: both
+    PROJECT the rank into a keep column (no rank<=k filter follows),
+    so WindowGroupLimit can never bound them and a billion-member
+    duplicate cluster/group would serialize into one task's sort —
+    the passage-pick scale-killer class (VERDICT r04 #2), closed for
+    all three canonical picks in r05."""
+    import pandas as pd
+
+    from apollon_spark.ml.dedup import resolve_dup_clusters
+    from apollon_spark.ml.semdedup import semantic_dedup
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [str(i) for i in range(8)],
+        "n_tok": [5, 6, 7, 8, 9, 10, 11, 12]}))
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": ["0", "2"], "id_b": ["1", "3"]}))
+    plan = _plan(resolve_dup_clusters(docs, pairs))
+    assert "row_number" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "cluster_id" not in line, line
+    assert "min(struct" in plan, plan
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8))
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(40, dtype="int64"),
+        "embedding": list(vecs)}))
+    plan = _plan(semantic_dedup(emb, 0.5, centroids=vecs[:4]))
+    assert "row_number" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "group_id" not in line, line
