@@ -2042,7 +2042,17 @@ def _hmm_em2_sql() -> str:
     forward-backward + M-step replays the same recursive-CTE shapes
     with per-doc Γ/δ carried through the recursion rows. Runtime
     cross-engine math stays {+,*,/,ln} plus one exp per (doc,
-    state) of a bit-identical quantized argument."""
+    state) of a bit-identical quantized argument.
+
+    Division-by-zero audit (DuckDB yields NULL where IEEE yields
+    NaN/Inf — the features_battery entropy divergence class): every
+    scale factor c > 0 by construction (emission rows are row-max-
+    normalized to 1 and the quantized Γ/δ floor at 2^-16, so each
+    step's numerator has a strictly positive term); the M-step γ
+    denominators need a state with zero forward mass at EVERY t,
+    which requires λ' floored to 2^-16 while the doc carries large
+    tokens — impossible, since λ' is that state's posterior-weighted
+    token mean. No reachable 0/0 or x/0 on integer-token input."""
     return f"""
 WITH RECURSIVE {_hmm_em2_ctes()}
 SELECT q.doc_id, CAST(q.n_tok AS INT) AS n_tok,
