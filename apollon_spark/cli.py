@@ -487,8 +487,18 @@ def main(argv: list[str] | None = None) -> int:
                 from .ml.curation import budget_mixture_weights
                 weights = budget_mixture_weights(
                     docs, weights, args.budget_tokens, by=args.stratify_by)
+            from pyspark.sql import functions as F
             copies = mixture_sample(docs, weights, by=args.stratify_by)
-            out = copies.join(docs.drop(args.stratify_by), "doc_id")
+            # resampled copies get UNIQUE ids (doc_id#copy, original
+            # kept in orig_doc_id): every downstream stage joins or
+            # packs on doc_id and assumes it is a key — feeding
+            # repeated ids to pack_sequences multiplied token
+            # payloads through the offsets equi-join (silent 52x
+            # corruption before pack's duplicate guard existed)
+            out = (copies.join(docs.drop(args.stratify_by), "doc_id")
+                   .withColumn("orig_doc_id", F.col("doc_id"))
+                   .withColumn("doc_id",
+                               F.concat_ws("#", "doc_id", "copy")))
         elif args.quota > 0:
             keep = sample_stratified(docs, args.quota, by=args.stratify_by)
             out = docs.join(keep.select("doc_id"), "doc_id", "left_semi")

@@ -58,7 +58,30 @@ def _meta_cumsum(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
         running = 0
+        prev_id = None
         for pdf in batches:
+            # duplicate-doc_id guard, O(1) on top of the pass we are
+            # already making: the range partitioner sends equal keys
+            # to one partition and the partition is sorted, so any
+            # duplicate is ADJACENT here. A repeated doc_id (e.g. a
+            # mixture-resampled corpus fed straight to packing) would
+            # otherwise fan out through the offsets equi-join and
+            # silently multiply token payloads — observed 52x
+            # inflation on a 70-copy mixture. Make ids unique first
+            # (the CLI sample stage suffixes '#copy').
+            ids = pdf["doc_id"]
+            dup = ids[ids.duplicated()]
+            if len(dup) == 0 and prev_id is not None and len(ids) \
+                    and ids.iloc[0] == prev_id:
+                dup = ids.iloc[:1]
+            if len(dup):
+                raise ValueError(
+                    f"pack_sequences: duplicate doc_id {dup.iloc[0]!r} "
+                    f"in the input — packing requires unique doc ids "
+                    f"(a resampled corpus must suffix its copies, see "
+                    f"the CLI sample stage)")
+            if len(ids):
+                prev_id = ids.iloc[-1]
             n = pdf["n_tok"].astype("int64")
             loc = n.cumsum() - n + running
             running = int(running + n.sum())

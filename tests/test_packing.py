@@ -191,3 +191,21 @@ def test_pack_offsets_partial_range_sampling(spark):
     for i in (0, 1, 9_999, 19_998, n - 1):
         assert got[f"doc_{i:07d}"] == i
     assert sorted(got.values()) == list(range(n))
+
+
+def test_pack_raises_on_duplicate_doc_ids(spark):
+    """Repeated doc_ids (a mixture-resampled corpus fed straight to
+    packing) would fan out through the offsets equi-join and silently
+    multiply token payloads — observed 52x inflation on a 70-copy
+    mixture. The cumsum kernel detects adjacent duplicates (equal
+    keys land in one sorted range partition) and raises instead."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from apollon_spark.operators.packing import pack_sequences
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b", "a", "c"],
+        "tokens": [[1, 2], [3], [1, 2], [4, 5]],
+        "n_tok": [2, 1, 2, 2]}))
+    with _pytest.raises(Exception, match="duplicate doc_id"):
+        pack_sequences(docs, ctx_len=4).count()
